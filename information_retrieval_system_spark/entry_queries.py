@@ -1,0 +1,400 @@
+"""Gradeable query registry: every entry pairs a PySpark callable
+``(spark, sf_dir) -> DataFrame`` with an equivalent DuckDB ANSI-SQL oracle
+over the same parquet tables (driver contract in ``__spark_entry__.py``).
+
+Conventions for engine/oracle hash-identity:
+- every computed column is aliased identically on both sides;
+- integer outputs are BIGINT on both sides (DuckDB ``sum`` yields HUGEINT —
+  always ``CAST(... AS BIGINT)``);
+- floating outputs are rounded to 4 decimals on both sides;
+- ordering ties are broken by a total key (score DESC, doc_id ASC).
+
+IR queries on the ``documents`` table run the analyzer with
+stopwords/stemmer DISABLED so the oracle stays ANSI-SQL-expressible; the
+stemmer/stopword paths are covered by pytest against the pure-Python
+oracle (tests/), and one stopword query inlines the word list as an IN
+list.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .analysis.analyzer import doc_length_expr
+from .analysis.stopwords import ALL_FILTERED
+from .config import EngineConfig
+from .index.builder import IndexTables, build_index
+from .query import scoring
+
+# ---------------------------------------------------------------------------
+# shared pieces
+# ---------------------------------------------------------------------------
+
+NOSTEM_CFG = EngineConfig(use_stopwords=False, use_stemmer=False)
+
+#: DuckDB CTE producing one row per (doc_id, token) with the T2/T3 analyzer
+#: (stop/stem off), exactly mirroring analyzer.tokens_array_expr.
+TOKS_CTE = """
+raw AS (
+  SELECT doc_id,
+         unnest(string_split_regex(
+           trim(lower(regexp_replace(regexp_replace(text,
+                '[^\\p{L}\\p{Nd}]+', ' ', 'g'), '[0-9]', ' ', 'g'))),
+           ' +')) AS term
+  FROM documents
+),
+toks AS (SELECT doc_id, term FROM raw WHERE term <> '')
+"""
+
+QUERY_TERMS = ("spark", "join", "merge")  # flagship query, no dup terms
+K1, B = 1.2, 0.75
+TOPK = 20
+
+_index_cache: dict[tuple, IndexTables] = {}
+
+
+def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def get_index(spark: SparkSession, sf_dir: str, cfg: EngineConfig = NOSTEM_CFG) -> IndexTables:
+    key = (sf_dir, cfg.use_stopwords, cfg.use_stemmer)
+    if key not in _index_cache:
+        docs = load_documents(spark, sf_dir)
+        _index_cache[key] = build_index(docs, cfg, doc_col="doc_id", text_col="text",
+                                        with_positions=False)
+    return _index_cache[key]
+
+
+def query_terms_df(spark: SparkSession) -> DataFrame:
+    rows = [(t, 1.0) for t in QUERY_TERMS]
+    return spark.createDataFrame(rows, "term string, qtf double")
+
+
+def _sql_terms_list() -> str:
+    return "[" + ", ".join(f"'{t}'" for t in QUERY_TERMS) + "]"
+
+
+# ---------------------------------------------------------------------------
+# IR queries (documents table)
+# ---------------------------------------------------------------------------
+
+def q_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ix = get_index(spark, sf_dir)
+    return ix.terms.select("term", F.col("df").cast("long").alias("df"),
+                           F.col("cf").cast("long").alias("cf"))
+
+
+SQL_TERM_DF = f"""
+WITH {TOKS_CTE},
+post AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2)
+SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf
+FROM post GROUP BY term
+"""
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ix = get_index(spark, sf_dir)
+    s = ix.stats
+    return spark.createDataFrame(
+        [(s["n_docs"], s["total_len"], s["avgdl"])],
+        "n_docs bigint, total_tokens bigint, avgdl bigint",
+    )
+
+
+SQL_CORPUS_STATS = f"""
+WITH {TOKS_CTE}
+SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs,
+       CAST((SELECT count(*) FROM toks) AS BIGINT) AS total_tokens,
+       CAST((SELECT count(*) FROM toks) // (SELECT count(*) FROM documents) AS BIGINT) AS avgdl
+"""
+
+
+def q_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_documents(spark, sf_dir)
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        doc_length_expr(F.col("text")).cast("long").alias("dl"),
+    )
+
+
+SQL_DOC_LENGTHS = f"""
+WITH {TOKS_CTE}
+SELECT d.doc_id, CAST(coalesce(t.dl, 0) AS BIGINT) AS dl
+FROM documents d
+LEFT JOIN (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1) t USING (doc_id)
+"""
+
+
+def q_tf_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ix = get_index(spark, sf_dir)
+    return (
+        ix.postings.filter(F.col("doc_id") < 300)
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "term",
+                F.col("tf").cast("long").alias("tf"))
+    )
+
+
+SQL_TF_MATRIX = f"""
+WITH {TOKS_CTE}
+SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+FROM toks WHERE doc_id < 300 GROUP BY doc_id, term
+"""
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ix = get_index(spark, sf_dir)
+    res = scoring.bm25_search(ix, query_terms_df(spark), k=TOPK, cfg=NOSTEM_CFG)
+    return res.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      F.round("score", 4).alias("score"))
+
+
+SQL_BM25_TOPK = f"""
+WITH {TOKS_CTE},
+post AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM post GROUP BY 1),
+dl AS (SELECT d.doc_id, CAST(coalesce(t.dl, 0) AS DOUBLE) AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1) t USING (doc_id)),
+stats AS (SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n,
+                 CAST((SELECT count(*) FROM toks) // (SELECT count(*) FROM documents) AS DOUBLE) AS avgdl),
+q AS (SELECT unnest({_sql_terms_list()}) AS term),
+scored AS (
+  SELECT p.doc_id,
+         (ln((s.n - f.df + 0.5) / (f.df + 0.5)) / ln(2))
+           * p.tf * ({K1} + 1)
+           / (p.tf + {K1} * (1 - {B} + {B} * d.dl / s.avgdl)) AS ts
+  FROM post p
+  JOIN q USING (term)
+  JOIN dft f USING (term)
+  JOIN dl d USING (doc_id)
+  CROSS JOIN stats s
+)
+SELECT doc_id, round(sum(ts), 4) AS score
+FROM scored GROUP BY doc_id
+ORDER BY sum(ts) DESC, doc_id ASC
+LIMIT {TOPK}
+"""
+
+
+def q_vsm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ix = get_index(spark, sf_dir)
+    res = scoring.vsm_search(ix, query_terms_df(spark), k=TOPK, cfg=NOSTEM_CFG)
+    return res.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      F.round("score", 4).alias("score"))
+
+
+SQL_VSM_TOPK = f"""
+WITH {TOKS_CTE},
+post AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM post GROUP BY 1),
+stats AS (SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n),
+norms AS (
+  -- NB: DuckDB's // is integer division only for integer operands; with
+  -- DOUBLEs it does NOT floor, so the Java-int-division quirk needs an
+  -- explicit floor() here.
+  SELECT p.doc_id,
+         sum(pow(p.tf * ln(floor((s.n + 1) / f.df)) / ln(2), 2)) AS norm2
+  FROM post p JOIN dft f USING (term) CROSS JOIN stats s
+  GROUP BY p.doc_id
+),
+q AS (SELECT unnest({_sql_terms_list()}) AS term, 1.0 AS qtf),
+qw AS (SELECT q.term, q.qtf * ln(s.n / f.df) / ln(2) AS w_q
+       FROM q JOIN dft f USING (term) CROSS JOIN stats s),
+qnorm AS (SELECT sum(w_q * w_q) AS q_norm2 FROM qw),
+dots AS (
+  SELECT p.doc_id, sum(p.tf * (ln(s.n / f.df) / ln(2)) * w.w_q) AS dot
+  FROM post p JOIN qw w USING (term) JOIN dft f USING (term) CROSS JOIN stats s
+  GROUP BY p.doc_id
+)
+SELECT d.doc_id,
+       round(CASE WHEN n.norm2 > 0 AND qn.q_norm2 > 0
+                  THEN d.dot / sqrt(n.norm2 * qn.q_norm2) ELSE 0 END, 4) AS score
+FROM dots d JOIN norms n USING (doc_id) CROSS JOIN qnorm qn
+ORDER BY (CASE WHEN n.norm2 > 0 AND qn.q_norm2 > 0
+               THEN d.dot / sqrt(n.norm2 * qn.q_norm2) ELSE 0 END) DESC, d.doc_id ASC
+LIMIT {TOPK}
+"""
+
+
+def q_existential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ix = get_index(spark, sf_dir)
+    res = scoring.existential_search(ix, query_terms_df(spark), k=10**9, cfg=NOSTEM_CFG)
+    return res.select(F.col("doc_id").cast("long").alias("doc_id"), "score")
+
+
+SQL_EXISTENTIAL = f"""
+WITH {TOKS_CTE},
+q AS (SELECT unnest({_sql_terms_list()}) AS term)
+SELECT DISTINCT doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM toks JOIN q USING (term)
+ORDER BY doc_id
+"""
+
+
+def q_doc_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ix = get_index(spark, sf_dir)
+    return ix.docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                          F.round("norm", 4).alias("norm"))
+
+
+SQL_DOC_NORMS = f"""
+WITH {TOKS_CTE},
+post AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dft AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+stats AS (SELECT count(*) AS n FROM documents),
+norms AS (
+  SELECT p.doc_id,
+         sum(pow(p.tf * ln((s.n + 1) // f.df) / ln(2), 2)) AS norm
+  FROM post p JOIN dft f USING (term) CROSS JOIN stats s
+  GROUP BY p.doc_id
+)
+SELECT d.doc_id, round(coalesce(n.norm, 0.0), 4) AS norm
+FROM documents d LEFT JOIN norms n USING (doc_id)
+"""
+
+
+def q_stopword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokens kept per doc after the 412+3-word stop/operator filter."""
+    docs = load_documents(spark, sf_dir)
+    from .analysis.analyzer import stopword_filter_condition, tokenize
+
+    toks = tokenize(docs, "text", ["doc_id"], with_positions=False)
+    kept = toks.filter(stopword_filter_condition(F.col("token")))
+    return (
+        docs.select("doc_id")
+        .join(kept.groupBy("doc_id").agg(F.count("*").alias("kept")), "doc_id", "left")
+        .select(F.col("doc_id").cast("long").alias("doc_id"),
+                F.coalesce(F.col("kept"), F.lit(0)).cast("long").alias("kept"))
+    )
+
+
+def _sql_stopword_list() -> str:
+    return ", ".join(f"'{w}'" for w in sorted(ALL_FILTERED))
+
+
+SQL_STOPWORD_STATS = f"""
+WITH {TOKS_CTE},
+kept AS (
+  SELECT doc_id, count(*) AS kept FROM toks
+  WHERE term NOT IN ({_sql_stopword_list()})
+  GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(coalesce(k.kept, 0) AS BIGINT) AS kept
+FROM documents d LEFT JOIN kept k USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# relational operator coverage (star schema)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(CAST(sum(l_quantity) AS DOUBLE), 4) AS sum_qty,
+       round(CAST(sum(l_extendedprice) AS DOUBLE), 4) AS sum_base_price,
+       round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 4) AS sum_disc_price,
+       round(CAST(avg(l_quantity) AS DOUBLE), 4) AS avg_qty,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join chain with a broadcast dim + deterministic top-10."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+    )
+    return rev.orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(10)
+
+
+SQL_TOP_CUSTOMERS = """
+SELECT c_custkey, c_name,
+       round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 4) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, c_custkey ASC
+LIMIT 10
+"""
+
+
+def q_events_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function coverage: per-user running value sum + row index."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.round(F.sum("value").over(w), 4).alias("running_value"),
+    )
+
+
+SQL_EVENTS_RUNNING = """
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn,
+       round(CAST(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS running_value
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "term_df": q_term_df,
+    "corpus_stats": q_corpus_stats,
+    "doc_lengths": q_doc_lengths,
+    "tf_matrix": q_tf_matrix,
+    "bm25_topk": q_bm25_topk,
+    "vsm_topk": q_vsm_topk,
+    "existential": q_existential,
+    "doc_norms": q_doc_norms,
+    "stopword_stats": q_stopword_stats,
+    "pricing_summary": q_pricing_summary,
+    "top_customers": q_top_customers,
+    "events_running": q_events_running,
+}
+
+ORACLES: dict[str, str] = {
+    "term_df": SQL_TERM_DF,
+    "corpus_stats": SQL_CORPUS_STATS,
+    "doc_lengths": SQL_DOC_LENGTHS,
+    "tf_matrix": SQL_TF_MATRIX,
+    "bm25_topk": SQL_BM25_TOPK,
+    "vsm_topk": SQL_VSM_TOPK,
+    "existential": SQL_EXISTENTIAL,
+    "doc_norms": SQL_DOC_NORMS,
+    "stopword_stats": SQL_STOPWORD_STATS,
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "top_customers": SQL_TOP_CUSTOMERS,
+    "events_running": SQL_EVENTS_RUNNING,
+}

@@ -1,0 +1,191 @@
+"""Exact ranked retrieval: BM25 / VSM / Existential / B6 fusion.
+
+Query plan shape (SURVEY.md §3 E2): ``query_terms --broadcast-join-->
+terms(df) --join--> postings (bucket-pruned) --semi-join--> candidates
+--join--> docs(length, norm, pagerank) --column exprs--> groupBy(doc).sum
+--> TakeOrderedAndProject(k)``.  Two shuffles total: the postings join and
+the final top-k merge (which Spark executes as per-partition top-k + a
+driver-side merge of k-row partials — already the bounded-heap pattern).
+
+Scoring semantics, with reference citations:
+- BM25 (OkapiBM25_FR.java:160,329): ``idf = log2((N - df + 0.5)/(df+0.5))``;
+  ``s = idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))``; ``dl`` is the
+  pre-filter token count (Indexer.java:265); ``avgdl`` the floored long
+  (Indexer.java:689).  k1/b are config (BASELINE.json default 1.2/0.75).
+- duplicate query terms contribute ONCE to BM25 (the per-term score map
+  collapses them, OkapiBM25_FR.java:330-404); VSM weights them by qtf.
+- VSM (VSM_FR.java:177-231,442-471): ``idf = log2(N/df)``;
+  ``w_q = qtf*idf``; ``w_d = tf*idf``;
+  ``score = sum(w_d*w_q) / sqrt(norm_d * sum(w_q^2))`` where ``norm_d`` is
+  the stored already-squared A5 norm (built with the floor-division idf —
+  that base mismatch is reference behavior, kept).
+- Existential (Existential_FR.java:85-211): any match -> 1.0.
+- candidate semi-join (OkapiBM25_FR.java:218-233): scoring restricted to
+  relevance=1 docs, pushed BEFORE scoring.
+- tie-break: deterministic (score DESC, doc_id ASC) — documented fix of
+  the reference's HashMap-order ties (OkapiBM25_FR.java:407-416).
+- B6 fusion (OkapiBM25_FR.java:1126-1133, themis.config:20-22), with the
+  documented divide-by-zero fix (SURVEY.md §7): per-doc model score S_d;
+  ``Z = sqrt(avgPR^2 + avgS^2)`` with avgS = mean of retrieved S_d and
+  avgPR = mean pagerank over ALL docs (Indexer.java:1140-1155);
+  ``final = w_m*S_d/Z + w_pr*PR_d/Z`` — pagerank added once per doc, not
+  once per matched term.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..config import DEFAULT_CONFIG, EngineConfig
+from ..index.builder import IndexTables
+
+LOG2 = math.log(2.0)
+
+
+def log2c(col: Column) -> Column:
+    return F.log(col) / F.lit(LOG2)
+
+
+def bm25_term_score(tf: Column, df: Column, dl: Column, n_docs: int, avgdl: float,
+                    k1: float, b: float) -> Column:
+    idf = log2c((F.lit(float(n_docs)) - df + F.lit(0.5)) / (df + F.lit(0.5)))
+    denom = tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / F.lit(float(avgdl)))
+    return idf * tf * F.lit(k1 + 1.0) / denom
+
+
+def _matched(index: IndexTables, query_terms: DataFrame,
+             candidates: DataFrame | None) -> DataFrame:
+    """query_terms ⋈ terms ⋈ postings [⋈semi candidates]: one row per
+    (term, doc) match, carrying qtf/df/tf."""
+    qt = query_terms.join(F.broadcast(index.terms), "term", "inner")
+    m = index.postings.join(F.broadcast(qt), "term", "inner")
+    if candidates is not None:
+        m = m.join(candidates.select("doc_id"), "doc_id", "leftsemi")
+    return m
+
+
+def bm25_search(
+    index: IndexTables,
+    query_terms: DataFrame,
+    k: int = 10,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """-> (doc_id, score double), top-k, deterministic order."""
+    n, avgdl = index.stats["n_docs"], index.stats["avgdl"]
+    m = _matched(index, query_terms, candidates)
+    m = m.join(index.docs.select("doc_id", "length"), "doc_id", "inner")
+    scored = m.withColumn(
+        "tscore",
+        bm25_term_score(F.col("tf").cast("double"), F.col("df").cast("double"),
+                        F.col("length").cast("double"), n, float(avgdl), cfg.k1, cfg.b),
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("tscore").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def vsm_search(
+    index: IndexTables,
+    query_terms: DataFrame,
+    k: int = 10,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    n = index.stats["n_docs"]
+    m = _matched(index, query_terms, candidates)
+    idf = log2c(F.lit(float(n)) / F.col("df").cast("double"))
+    m = (
+        m.withColumn("w_q", F.col("qtf") * idf)
+        .withColumn("w_d", F.col("tf").cast("double") * idf)
+    )
+    # sum(w_q^2) over the *matched* query terms of this query — a scalar;
+    # computed distributively per doc since every doc row set shares the
+    # same matched term set only when the doc matches all terms, so we
+    # instead carry the global scalar via a cross-joinable 1-row agg.
+    qnorm = (
+        query_terms.join(F.broadcast(index.terms.select("term", "df")), "term", "inner")
+        .select((F.col("qtf") * log2c(F.lit(float(n)) / F.col("df").cast("double"))).alias("w_q"))
+        .agg(F.sum(F.col("w_q") * F.col("w_q")).alias("q_norm2"))
+    )
+    dots = m.groupBy("doc_id").agg(F.sum(F.col("w_d") * F.col("w_q")).alias("dot"))
+    dots = dots.join(index.docs.select("doc_id", "norm"), "doc_id", "inner").crossJoin(
+        F.broadcast(qnorm)
+    )
+    return (
+        dots.withColumn(
+            "score",
+            F.when(
+                (F.col("norm") > 0) & (F.col("q_norm2") > 0),
+                F.col("dot") / F.sqrt(F.col("norm") * F.col("q_norm2")),
+            ).otherwise(F.lit(0.0)),
+        )
+        .select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def existential_search(
+    index: IndexTables,
+    query_terms: DataFrame,
+    k: int = 10,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    m = _matched(index, query_terms, candidates)
+    return (
+        m.select("doc_id").distinct()
+        .withColumn("score", F.lit(1.0))
+        .orderBy(F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def fuse_with_pagerank(
+    ranked: DataFrame,
+    docs: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """B6 fusion (fixed semantics — see module docstring)."""
+    avg_pr = docs.agg(F.avg("pagerank")).collect()[0][0] or 0.0
+    avg_s = ranked.agg(F.avg("score")).collect()[0][0] or 0.0
+    z = math.sqrt(avg_pr * avg_pr + avg_s * avg_s)
+    if z == 0.0:
+        z = 1.0
+    out = ranked.join(docs.select("doc_id", "pagerank"), "doc_id", "left").fillna(
+        {"pagerank": 0.0}
+    )
+    return (
+        out.withColumn(
+            "score",
+            F.lit(cfg.model_weight) * F.col("score") / F.lit(z)
+            + F.lit(cfg.pagerank_weight) * F.col("pagerank") / F.lit(z),
+        )
+        .select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
+MODELS = {
+    "BM25": bm25_search,
+    "VSM": vsm_search,
+    "Existential": existential_search,
+}
+
+
+def search(
+    index: IndexTables,
+    query_terms: DataFrame,
+    k: int = 10,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    candidates: DataFrame | None = None,
+    model: str | None = None,
+) -> DataFrame:
+    fn = MODELS[(model or cfg.retrieval_model)]
+    return fn(index, query_terms, k=k, cfg=cfg, candidates=candidates)
