@@ -1,0 +1,166 @@
+"""Block-max pruned exact top-k BM25 over compressed posting blocks.
+
+The reference's approximate early-cutoff (idf-sorted terms, stop when
+>= topk docs collected, OkapiBM25_FR.java:486-511,758-761) is replaced by
+an EXACT block-max scheme (SURVEY.md §2.5 O5, §4 item 1):
+
+- posting blocks are doc-range aligned across terms (compression.py), so
+  one cogroup on ``block_id`` yields, per doc range, every query term's
+  postings plus the range's doc lengths — doc-at-a-time scoring without
+  a global sort;
+- per-range upper bound: ``ub(range) = Σ_t idf_t · max_tf·(k1+1) /
+  (max_tf + k1·(1-b))`` — since ``dl ≥ 0`` and the BM25 term score is
+  monotone increasing in tf and decreasing in dl, this dominates every
+  doc score in the range (safe-pruning proof in SURVEY.md §4.1);
+- a per-python-worker shared threshold (the k-th best score seen by that
+  worker so far) skips whole ranges whose ub cannot reach the heap —
+  opportunistic but SAFE: the final global k-th best is ≥ any worker's
+  current k-th best, so skipped ranges can never contain a final top-k
+  doc.  Negative-idf terms (df > N/2, common in tiny corpora) contribute
+  their negative minimum to the bound, keeping it an upper bound;
+- each cogroup task emits at most k rows; the global
+  ``orderBy(score desc, doc_id asc).limit(k)`` merge is Spark's
+  TakeOrderedAndProject — per-partition top-k + k-row driver merge.
+
+Only the kernel body is Python (vectorized numpy over decoded blocks),
+entering via ``applyInPandas`` on a cogroup — Arrow-batched, never
+per-row.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..config import DEFAULT_CONFIG, EngineConfig
+from ..index.builder import IndexTables
+from ..index.compression import DEFAULT_BLOCK_SPAN, vbyte_decode
+
+# per-worker shared pruning state: {query_key: heap of best scores (size<=k)}
+_THRESH: dict[str, list[float]] = {}
+
+
+def _kernel_factory(term_stats: dict[str, tuple[float, float]], k: int,
+                    k1: float, b: float, avgdl: float, span: int, qkey: str):
+    """term_stats: term -> (idf, tf_ub_factor) where the block ub is
+    idf>0 ? idf * max_tf*(k1+1)/(max_tf+k1*(1-b)) : idf * small_tf_bound."""
+
+    def kernel(key, pblocks: pd.DataFrame, dlblock: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_int": pd.Series(dtype="int64"),
+                              "score": pd.Series(dtype="float64")})
+        if len(pblocks) == 0 or len(dlblock) == 0:
+            return empty
+
+        if len(_THRESH) > 64:  # bound per-worker state across queries
+            _THRESH.clear()
+        heap = _THRESH.setdefault(qkey, [])
+        theta = heap[0] if len(heap) >= k else -np.inf
+
+        # --- block-max upper bound for this doc range ------------------
+        ub = 0.0
+        for term, max_tf in zip(pblocks["term"], pblocks["max_tf"]):
+            idf, _ = term_stats[term]
+            mt = float(max_tf)
+            if idf >= 0.0:
+                ub += idf * mt * (k1 + 1.0) / (mt + k1 * (1.0 - b))
+            else:
+                # negative idf: score is maximized (least negative) at
+                # tf=1, dl->inf => bounded above by 0 from below; use the
+                # tf=1, dl=max bound ~ 0 — contribute 0 (safe upper bound)
+                ub += 0.0
+        if ub < theta:
+            return empty
+
+        # --- decode dl block ------------------------------------------
+        base = int(key[0]) * span
+        ddocs = np.cumsum(vbyte_decode(dlblock["docs_vb"].iloc[0]), dtype=np.uint64)
+        dls = vbyte_decode(dlblock["dls_vb"].iloc[0]).astype(np.float64)
+        dl_arr = np.zeros(span, dtype=np.float64)
+        dl_arr[(ddocs - base).astype(np.int64)] = dls
+
+        # --- doc-at-a-time accumulation over the range -----------------
+        scores = np.zeros(span, dtype=np.float64)
+        touched = np.zeros(span, dtype=bool)
+        for term, dvb, tvb in zip(pblocks["term"], pblocks["docs_vb"], pblocks["tfs_vb"]):
+            idf, _ = term_stats[term]
+            docs = np.cumsum(vbyte_decode(dvb), dtype=np.uint64)
+            tfs = vbyte_decode(tvb).astype(np.float64)
+            off = (docs - base).astype(np.int64)
+            dl = dl_arr[off]
+            s = idf * tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dl / avgdl))
+            scores[off] += s
+            touched[off] = True
+
+        idx = np.nonzero(touched)[0]
+        if idx.size == 0:
+            return empty
+        sc = scores[idx]
+        # local top-k of this range
+        if idx.size > k:
+            part = np.argpartition(-sc, k - 1)[:k]
+            idx, sc = idx[part], sc[part]
+        # update worker-shared threshold heap
+        for v in sc:
+            if len(heap) < k:
+                heapq.heappush(heap, float(v))
+            elif v > heap[0]:
+                heapq.heapreplace(heap, float(v))
+        return pd.DataFrame({"doc_int": (idx + base).astype(np.int64), "score": sc})
+
+    return kernel
+
+
+def bm25_topk_wand(
+    blocks: DataFrame,
+    dl_blocks: DataFrame,
+    terms: DataFrame,
+    stats: dict,
+    query_terms: list[str],
+    k: int = 10,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    block_span: int = DEFAULT_BLOCK_SPAN,
+    docs: DataFrame | None = None,
+) -> DataFrame:
+    """-> (doc_int, score) top-k (plus doc_id when ``docs`` given).
+
+    ``blocks``/``dl_blocks`` from compression.build_*; ``terms``/``stats``
+    from the IndexTables.  ``query_terms`` are ALREADY analyzed terms.
+    """
+    spark = blocks.sparkSession
+    n, avgdl = stats["n_docs"], float(stats["avgdl"])
+    qset = sorted(set(query_terms))
+    trows = terms.filter(F.col("term").isin(qset)).select("term", "df").collect()
+    if not trows:
+        out = spark.createDataFrame([], "doc_int long, score double")
+        return out
+    term_stats = {}
+    for r in trows:
+        df = float(r.df)
+        idf = float(np.log2((n - df + 0.5) / (df + 0.5)))
+        term_stats[r.term] = (idf, 0.0)
+
+    # unique per invocation: a stale heap from a previous query (possibly a
+    # different corpus) must never seed this query's pruning threshold
+    import uuid
+
+    qkey = uuid.uuid4().hex
+    kernel = _kernel_factory(term_stats, k, cfg.k1, cfg.b, avgdl, block_span, qkey)
+
+    qb = blocks.filter(F.col("term").isin(list(term_stats)))
+    ranked = (
+        qb.groupBy("block_id")
+        .cogroup(dl_blocks.groupBy("block_id"))
+        .applyInPandas(kernel, "doc_int long, score double")
+        .orderBy(F.desc("score"), F.asc("doc_int"))
+        .limit(k)
+    )
+    if docs is not None:
+        ranked = (
+            ranked.join(docs.select("doc_int", "doc_id"), "doc_int", "left")
+            .select("doc_id", "doc_int", "score")
+            .orderBy(F.desc("score"), F.asc("doc_int"))
+        )
+    return ranked

@@ -1,0 +1,67 @@
+"""WAND == exhaustive-scoring equality (prune safety, SURVEY.md §5.5)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from information_retrieval_system_spark.analysis.analyzer import analyze_query_terms
+from information_retrieval_system_spark.config import EngineConfig
+from information_retrieval_system_spark.index.builder import build_index
+from information_retrieval_system_spark.index.compression import (
+    build_block_postings,
+    build_dl_blocks,
+    decode_block,
+)
+from information_retrieval_system_spark.query import scoring
+from information_retrieval_system_spark.query.wand import bm25_topk_wand
+
+SPAN = 128  # small span to exercise multi-block paths on 500 docs
+
+
+@pytest.fixture(scope="module")
+def blocked(spark, sf_small):
+    cfg = EngineConfig()
+    docs_df = spark.read.parquet(f"{sf_small}/documents.parquet")
+    index = build_index(docs_df, cfg, doc_col="doc_id", text_col="text")
+    blocks = build_block_postings(index.postings, block_span=SPAN).cache()
+    dl_blocks = build_dl_blocks(index.docs, block_span=SPAN).cache()
+    blocks.count(), dl_blocks.count()
+    return cfg, index, blocks, dl_blocks
+
+
+def test_blocks_roundtrip_postings(blocked):
+    cfg, index, blocks, dl_blocks = blocked
+    # decode every block and compare against the raw postings rows
+    raw = {(r.term, r.doc_int): r.tf for r in index.postings.collect()}
+    dec = {}
+    for r in blocks.collect():
+        docs, tfs = decode_block(r.docs_vb, r.tfs_vb)
+        assert r.n == len(docs) == len(tfs)
+        assert r.first_doc == docs[0] and r.last_doc == docs[-1]
+        assert r.max_tf == tfs.max()
+        for d, t in zip(docs, tfs):
+            dec[(r.term, int(d))] = int(t)
+    assert dec == raw
+
+
+@pytest.mark.parametrize("query,k", [
+    ("spark join merge", 10),
+    ("spark join merge", 50),
+    ("window filter sort batch", 25),
+    ("vector stream", 5),
+    ("zzz_absent spark", 10),
+])
+def test_wand_equals_exhaustive(blocked, spark, query, k):
+    cfg, index, blocks, dl_blocks = blocked
+    qt = analyze_query_terms(spark, query, cfg)
+    terms = [r.term for r in qt.collect()]
+    exact = [(r.doc_id, r.score) for r in
+             scoring.bm25_search(index, qt, k=k, cfg=cfg).collect()]
+    wand = [(r.doc_id, r.score) for r in
+            bm25_topk_wand(blocks, dl_blocks, index.terms, index.stats,
+                           terms, k=k, cfg=cfg, block_span=SPAN,
+                           docs=index.docs).collect()]
+    assert [d for d, _ in wand] == [d for d, _ in exact]
+    for (d1, s1), (d2, s2) in zip(wand, exact):
+        assert abs(s1 - s2) <= 1e-9 * max(1.0, abs(s2))
