@@ -369,6 +369,8 @@ FROM events
 # registry
 # ---------------------------------------------------------------------------
 
+from .entry_textops import TEXTOPS_ORACLES, TEXTOPS_QUERIES  # noqa: E402
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "term_df": q_term_df,
     "corpus_stats": q_corpus_stats,
@@ -382,6 +384,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "top_customers": q_top_customers,
     "events_running": q_events_running,
+    **TEXTOPS_QUERIES,
 }
 
 ORACLES: dict[str, str] = {
@@ -397,4 +400,5 @@ ORACLES: dict[str, str] = {
     "pricing_summary": SQL_PRICING_SUMMARY,
     "top_customers": SQL_TOP_CUSTOMERS,
     "events_running": SQL_EVENTS_RUNNING,
+    **TEXTOPS_ORACLES,
 }

@@ -1,0 +1,365 @@
+"""Gradeable queries + DuckDB oracles for the training-data pipeline
+operators (dedup / similarity / quality).  Registered via entry_queries.
+
+Portability notes: h60 = md5-prefix hash (hashing.py) is computed
+identically in both engines; minhash (a,b) constants and LSH hyperplanes
+are python-generated literals shared by both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .textops import dedup, quality, similarity
+from .textops.hashing import MINHASH_P, h60_sql, minhash_params, minhash_sql
+
+# shared analyzer CTE (same as entry_queries.TOKS_CTE but with the token
+# ARRAY kept per doc, for shingles/fingerprints)
+TOKARR_CTE = """
+tokarr AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(regexp_replace(regexp_replace(text,
+             '[^\\p{L}\\p{Nd}]+', ' ', 'g'), '[0-9]', ' ', 'g'))), ' +'),
+             t -> t <> '') AS toks
+  FROM documents
+)
+"""
+
+NGRAM_N = 3
+MH_HASHES = 8
+SIMHASH_BITS = 16
+JACCARD_THRESHOLD = 0.5
+EMB_K = 15
+EMB_BITS = 4
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# --- exact dedup -----------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the synthetic corpus has no byte-identical full texts; dedup on the
+    # 120-char prefix so the operator's group/canonical path produces rows
+    docs = _docs(spark, sf_dir).select("doc_id", F.substring("text", 1, 120).alias("text"))
+    return dedup.exact_duplicates(docs, "text", "doc_id").select(
+        "content_sha",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("canonical_id").cast("long").alias("canonical_id"),
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT sha256(substr(text, 1, 120)) AS content_sha,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS canonical_id
+FROM documents GROUP BY sha256(substr(text, 1, 120)) HAVING count(*) >= 2
+"""
+
+
+# --- n-gram jaccard --------------------------------------------------------
+
+SHINGLE_CTE = f"""
+{TOKARR_CTE},
+sh AS (
+  SELECT DISTINCT doc_id AS id, shingle FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(toks) < {NGRAM_N} THEN []
+                  ELSE list_transform(range(len(toks) - {NGRAM_N} + 1),
+                       i -> array_to_string(list_slice(toks, i + 1, i + {NGRAM_N}), ' '))
+                  END) AS shingle
+    FROM tokarr)
+)
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = dedup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), "text", "doc_id", n=NGRAM_N, threshold=JACCARD_THRESHOLD
+    )
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.round("jaccard", 4).alias("jaccard"),
+    )
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH {SHINGLE_CTE},
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.id < b.id GROUP BY 1, 2
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       round(i * 1.0 / (sa.sz + sb.sz - i), 4) AS jaccard
+FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+WHERE i * 1.0 / (sa.sz + sb.sz - i) >= {JACCARD_THRESHOLD}
+"""
+
+
+# --- minhash signatures ----------------------------------------------------
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = dedup.minhash_signatures(
+        _docs(spark, sf_dir), "text", "doc_id", n=NGRAM_N, num_hashes=MH_HASHES
+    )
+    return sigs.select(F.col("id").cast("long").alias("id"),
+                       *[F.col(f"mh_{i}").cast("long").alias(f"mh_{i}") for i in range(MH_HASHES)])
+
+
+def _sql_minhash() -> str:
+    params = minhash_params(MH_HASHES, seed=42)
+    h = h60_sql("shingle")
+    mins = ",\n       ".join(
+        f"CAST(min({minhash_sql(h, a, b)}) AS BIGINT) AS mh_{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    return f"""
+WITH {SHINGLE_CTE}
+SELECT CAST(id AS BIGINT) AS id,
+       {mins}
+FROM sh GROUP BY id
+"""
+
+
+# --- simhash ---------------------------------------------------------------
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(_docs(spark, sf_dir), "text", "doc_id", bits=SIMHASH_BITS).select(
+        F.col("id").cast("long").alias("id"), F.col("simhash").cast("long").alias("simhash")
+    )
+
+
+def _sql_simhash() -> str:
+    h = h60_sql("tok")
+    sums = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN tf ELSE -tf END) AS s_{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(f"(CASE WHEN s_{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS))
+    return f"""
+WITH {TOKARR_CTE},
+tf AS (
+  SELECT doc_id AS id, tok, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM tokarr)
+  GROUP BY 1, 2
+),
+hashed AS (SELECT id, tf, {h} AS h FROM tf),
+bits AS (SELECT id, {sums} FROM hashed GROUP BY id)
+SELECT CAST(id AS BIGINT) AS id, CAST({fp} AS BIGINT) AS simhash FROM bits
+"""
+
+
+# --- embedding cosine top-k ------------------------------------------------
+
+_QVEC_CACHE: dict[str, list[float]] = {}
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    if sf_dir not in _QVEC_CACHE:
+        row = _emb(spark, sf_dir).filter(F.col("vec_id") == 0).collect()[0]
+        _QVEC_CACHE[sf_dir] = [float(x) for x in row.embedding]
+    return _QVEC_CACHE[sf_dir]
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qv = _query_vec(spark, sf_dir)
+    out = similarity.cosine_topk(_emb(spark, sf_dir), qv, k=EMB_K)
+    return out.select(F.col("vec_id").cast("long").alias("vec_id"),
+                      F.round("cosine", 4).alias("cosine"))
+
+
+SQL_COSINE_TOPK = f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id,
+         list_dot_product(CAST(embedding AS DOUBLE[]), q.qv)
+           / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(q.qv, q.qv))) AS c
+  FROM embeddings CROSS JOIN q
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, round(c, 4) AS cosine
+FROM scored ORDER BY c DESC, vec_id ASC LIMIT {EMB_K}
+"""
+
+
+EMB_DIM = 64  # testdata embeddings dimension (validated at query time)
+_PLANES = similarity.hyperplanes(EMB_DIM, EMB_BITS)
+
+
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qv = _query_vec(spark, sf_dir)
+    out = similarity.lsh_cosine_topk(_emb(spark, sf_dir), qv, k=EMB_K, bits=EMB_BITS)
+    return out.select(F.col("vec_id").cast("long").alias("vec_id"),
+                      F.round("cosine", 4).alias("cosine"))
+
+
+def _sql_lsh_topk() -> str:
+    """Static SQL oracle: buckets ALL vectors (incl. the query, vec_id=0)
+    with the same literal hyperplanes, restricts to the query's bucket."""
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(e, {_lit_list(p)}) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(_PLANES)
+    )
+    return f"""
+WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+bucketed AS (SELECT vec_id, e, {bucket_terms} AS bucket FROM b),
+q AS (SELECT e AS qv, bucket AS qbucket FROM bucketed WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id,
+         list_dot_product(e, q.qv) / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(q.qv, q.qv))) AS c
+  FROM bucketed CROSS JOIN q WHERE bucket = q.qbucket
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, round(c, 4) AS cosine
+FROM scored ORDER BY c DESC, vec_id ASC LIMIT {EMB_K}
+"""
+
+
+def _lit_list(vals: list[float]) -> str:
+    return "[" + ", ".join(repr(float(v)) for v in vals) + "]"
+
+
+EMB_NEAR_DUP_THRESHOLD = 0.3  # synthetic embeddings max within-label cosine ~0.47
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = similarity.embedding_near_dup_pairs(_emb(spark, sf_dir),
+                                              threshold=EMB_NEAR_DUP_THRESHOLD)
+    return out.select(F.col("id_a").cast("long").alias("id_a"),
+                      F.col("id_b").cast("long").alias("id_b"),
+                      F.round("cosine", 4).alias("cosine"))
+
+
+SQL_EMB_NEAR_DUP = """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cosine
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3
+"""
+
+
+# --- quality / language / tokens / fingerprint -----------------------------
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality.language_id(_docs(spark, sf_dir), "text", "doc_id").select(
+        F.col("id").cast("long").alias("id"), "en_ratio", "lang_pred"
+    )
+
+
+def _sql_language_id() -> str:
+    markers = ", ".join(f"'{w}'" for w in quality.EN_MARKERS)
+    return f"""
+WITH {TOKARR_CTE},
+r AS (
+  SELECT doc_id AS id,
+         CASE WHEN len(toks) > 0
+              THEN len(list_filter(toks, t -> t IN ({markers}))) * 1.0 / len(toks)
+              ELSE 0.0 END AS ratio
+  FROM tokarr)
+SELECT CAST(id AS BIGINT) AS id, round(ratio, 4) AS en_ratio,
+       CASE WHEN ratio >= 0.08 THEN 'en' ELSE 'unknown' END AS lang_pred
+FROM r
+"""
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality.token_counts(_docs(spark, sf_dir), "text", "doc_id")
+
+
+SQL_TOKEN_COUNTS = """
+SELECT doc_id AS id,
+       CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+')) AS BIGINT) AS word_tokens,
+       CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]+')) AS BIGINT) AS punct_runs
+FROM documents
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality.quality_score(_docs(spark, sf_dir), "text", "doc_id")
+
+
+def _sql_quality_score() -> str:
+    markers = ", ".join(f"'{w}'" for w in quality.EN_MARKERS)
+    return f"""
+WITH {TOKARR_CTE},
+m AS (
+  SELECT d.doc_id AS id,
+         length(d.text) AS n_chars,
+         len(t.toks) AS n_tokens,
+         CASE WHEN len(t.toks) > 0
+              THEN list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(t.toks, x -> CAST(length(x) AS BIGINT))), (a, x) -> a + x) * 1.0 / len(t.toks)
+              ELSE 0.0 END AS mean_tok_len,
+         CASE WHEN len(t.toks) > 0
+              THEN len(list_filter(t.toks, x -> x IN ({markers}))) * 1.0 / len(t.toks)
+              ELSE 0.0 END AS stop_ratio,
+         CASE WHEN length(d.text) > 0
+              THEN length(regexp_replace(d.text, '[^0-9]', '', 'g')) * 1.0 / length(d.text)
+              ELSE 0.0 END AS digit_ratio
+  FROM documents d JOIN tokarr t ON t.doc_id = d.doc_id)
+SELECT CAST(id AS BIGINT) AS id,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(mean_tok_len, 4) AS mean_tok_len,
+       round(stop_ratio, 4) AS stop_ratio,
+       round(digit_ratio, 4) AS digit_ratio,
+       round((CASE WHEN n_tokens BETWEEN 10 AND 10000 THEN 0.25 ELSE 0 END)
+           + (CASE WHEN mean_tok_len BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0 END)
+           + (CASE WHEN stop_ratio >= 0.05 THEN 0.25 ELSE 0 END)
+           + (CASE WHEN digit_ratio <= 0.2 THEN 0.25 ELSE 0 END), 2) AS score
+FROM m
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality.fingerprint(_docs(spark, sf_dir), "text", "doc_id")
+
+
+SQL_FINGERPRINT = f"""
+WITH {TOKARR_CTE}
+SELECT doc_id AS id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(toks, x -> (ascii(substr(x, 1, 1)) * 256 + length(x)) % {quality.FP_MOD})),
+         (a, x) -> (a * {quality.FP_MUL} + x) % {quality.FP_MOD}) AS fp
+FROM tokarr
+"""
+
+
+TEXTOPS_QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "ngram_jaccard": q_ngram_jaccard,
+    "minhash_signatures": q_minhash_signatures,
+    "simhash": q_simhash,
+    "cosine_topk": q_cosine_topk,
+    "lsh_topk": q_lsh_topk,
+    "embedding_near_dup": q_embedding_near_dup,
+    "language_id": q_language_id,
+    "token_counts": q_token_counts,
+    "quality_score": q_quality_score,
+    "doc_fingerprint": q_fingerprint,
+}
+
+TEXTOPS_ORACLES = {
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "minhash_signatures": _sql_minhash(),
+    "simhash": _sql_simhash(),
+    "cosine_topk": SQL_COSINE_TOPK,
+    "lsh_topk": _sql_lsh_topk(),
+    "embedding_near_dup": SQL_EMB_NEAR_DUP,
+    "language_id": _sql_language_id(),
+    "token_counts": SQL_TOKEN_COUNTS,
+    "quality_score": _sql_quality_score(),
+    "doc_fingerprint": SQL_FINGERPRINT,
+}

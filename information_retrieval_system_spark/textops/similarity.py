@@ -1,0 +1,123 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: JVM-side ``aggregate``/``zip_with`` column
+  expressions — fully codegen'd, one TakeOrderedAndProject; the exact
+  baseline at any scale.
+- LSH (random hyperplane) bucketed top-k: deterministic hyperplanes
+  (python-generated literal constants shared with the SQL oracle) ->
+  sign-bit bucket -> search only the query's bucket.  The scale path:
+  the bucket join prunes candidates by ~2^bits.
+- embedding near-duplicate pairs: all pairs above a cosine threshold
+  within a blocking key (label) — the embedding-cosine near-dup dedup
+  operator.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def _query_lit(vec: list[float]) -> Column:
+    return F.array(*[F.lit(float(v)) for v in vec])
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force exact cosine top-k (the correctness baseline)."""
+    q = _query_lit(query_vec)
+    e = F.col(vec_col).cast("array<double>")
+    return (
+        emb.select(
+            F.col(id_col),
+            (dot_expr(e, q) / (norm_expr(e) * F.lit(float(math.sqrt(sum(v * v for v in query_vec))))))
+            .alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def hyperplanes(dim: int, bits: int, seed: int = 7919) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes via sin() — identical
+    literal constants on the Spark and SQL sides."""
+    return [
+        [math.sin(seed * (b + 1) + j) for j in range(dim)]
+        for b in range(bits)
+    ]
+
+
+def lsh_bucket_expr(vec_col: Column, planes: list[list[float]]) -> Column:
+    bucket = F.lit(0).cast("long")
+    e = vec_col.cast("array<double>")
+    for i, p in enumerate(planes):
+        bit = F.when(dot_expr(e, _query_lit(p)) >= 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket + bit
+    return bucket
+
+
+def lsh_cosine_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7919,
+) -> DataFrame:
+    """Approximate top-k: search only the query's hyperplane bucket.
+    At scale the bucket expression is computed once at ingest and stored
+    as a partition column — the query then prunes partitions."""
+    planes = hyperplanes(len(query_vec), bits, seed)
+    qbucket = 0
+    for i, p in enumerate(planes):
+        if sum(a * b for a, b in zip(p, query_vec)) >= 0:
+            qbucket |= 1 << i
+    bucketed = emb.withColumn("_bucket", lsh_bucket_expr(F.col(vec_col), planes))
+    return cosine_topk(
+        bucketed.filter(F.col("_bucket") == qbucket), query_vec, k, id_col, vec_col
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+) -> DataFrame:
+    """-> (id_a, id_b, cosine >= threshold), blocked by ``block_col`` to
+    bound the pair join (at scale: LSH bucket as the blocking key)."""
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+                   *( [F.col(block_col).alias("_blk")] if block_col else [] ))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+                   *( [F.col(block_col).alias("_blk")] if block_col else [] ))
+    joined = a.join(b, "_blk") if block_col else a.crossJoin(b)
+    return (
+        joined.filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_expr(F.col("va").cast("array<double>"),
+                                          F.col("vb").cast("array<double>")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

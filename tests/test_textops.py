@@ -1,0 +1,86 @@
+"""Training-data pipeline operators: dedup / similarity / quality."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from information_retrieval_system_spark.textops import dedup, quality, similarity
+
+
+@pytest.fixture(scope="module")
+def toy_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = "the quick brown fox jumps over the lazy dog again and again tonight"
+    rows = [
+        (1, base),
+        (2, base),                       # exact dup of 1
+        (3, near),                       # near dup of 1
+        (4, "completely different text about spark shuffle partitions merge"),
+        (5, "another unrelated document mentioning joins and aggregations"),
+        (6, "the quick brown fox! jumps over... the lazy dog, again and again today"),  # same tokens as 1
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(toy_docs):
+    groups = dedup.exact_duplicates(toy_docs, "text", "doc_id").collect()
+    assert len(groups) == 1
+    assert groups[0].n_docs == 2 and groups[0].canonical_id == 1
+
+
+def test_ngram_jaccard_finds_near_dup(toy_docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in
+             dedup.ngram_jaccard_pairs(toy_docs, "text", "doc_id", n=3, threshold=0.5).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 6) in pairs and pairs[(1, 6)] == 1.0  # punctuation-invariant
+    assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0
+    assert (1, 4) not in pairs
+
+
+def test_minhash_lsh_pipeline(toy_docs):
+    out = {(r.id_a, r.id_b) for r in
+           dedup.minhash_lsh_dedup(toy_docs, "text", "doc_id", n=3, num_hashes=16,
+                                   bands=4, threshold=0.5).collect()}
+    assert (1, 2) in out
+    assert (1, 6) in out
+    assert (1, 4) not in out
+
+
+def test_simhash_identical_token_streams_collide(toy_docs):
+    sh = {r.id: r.simhash for r in dedup.simhash(toy_docs, "text", "doc_id", bits=32).collect()}
+    assert sh[1] == sh[2] == sh[6]
+    assert sh[1] != sh[4]
+
+
+def test_fingerprint_order_sensitive(spark):
+    rows = [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "gamma beta alpha"),
+            (4, "alpha, beta. gamma!")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = {r.id: r.fp for r in quality.fingerprint(df, "text", "doc_id").collect()}
+    assert fp[1] == fp[2] == fp[4]   # layout-invariant
+    assert fp[1] != fp[3]            # order-sensitive
+
+
+def test_cosine_topk_exact_vs_lsh(spark):
+    import math
+    rows = []
+    for i in range(50):
+        v = [math.sin(i * 13 + j) for j in range(8)]
+        rows.append((i, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = rows[7][1]
+    exact = [r.vec_id for r in similarity.cosine_topk(emb, q, k=5).collect()]
+    assert exact[0] == 7  # self is nearest
+    approx = [r.vec_id for r in similarity.lsh_cosine_topk(emb, q, k=5, bits=2).collect()]
+    assert approx[0] == 7  # query's own bucket contains itself
+
+
+def test_quality_and_language(spark):
+    rows = [(1, "the of and in to this is a document with many english words present"),
+            (2, "zzz qqq xxx yyy www")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    lid = {r.id: r.lang_pred for r in quality.language_id(df, "text", "doc_id").collect()}
+    assert lid[1] == "en" and lid[2] == "unknown"
+    qs = {r.id: r for r in quality.quality_score(df, "text", "doc_id").collect()}
+    assert qs[1].score > qs[2].score
