@@ -370,6 +370,7 @@ FROM events
 # ---------------------------------------------------------------------------
 
 from .entry_textops import TEXTOPS_ORACLES, TEXTOPS_QUERIES  # noqa: E402
+from .entry_graph import GRAPH_ORACLES, GRAPH_QUERIES  # noqa: E402
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "term_df": q_term_df,
@@ -385,6 +386,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_customers": q_top_customers,
     "events_running": q_events_running,
     **TEXTOPS_QUERIES,
+    **GRAPH_QUERIES,
 }
 
 ORACLES: dict[str, str] = {
@@ -401,4 +403,5 @@ ORACLES: dict[str, str] = {
     "top_customers": SQL_TOP_CUSTOMERS,
     "events_running": SQL_EVENTS_RUNNING,
     **TEXTOPS_ORACLES,
+    **GRAPH_ORACLES,
 }

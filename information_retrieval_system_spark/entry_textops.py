@@ -336,7 +336,36 @@ FROM tokarr
 """
 
 
+# --- multimodal binary metadata (payload = utf-8 bytes of text) -----------
+
+def q_blob_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .multimodal.binary_ops import attach_blob_metadata
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"), "text"
+    )
+    out = attach_blob_metadata(docs, "payload")
+    # blob_sha is over the bytes; for a cross-engine oracle hash the string
+    # (identical to hashing its UTF-8 bytes in both engines)
+    return out.select(
+        F.col("doc_id").cast("long").alias("id"),
+        F.col("blob_size").alias("blob_size"),
+        F.sha2(F.col("text"), 256).alias("sha"),
+        "media_type",
+    )
+
+
+SQL_BLOB_METADATA = """
+SELECT CAST(doc_id AS BIGINT) AS id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS blob_size,
+       sha256(text) AS sha,
+       'application/octet-stream' AS media_type
+FROM documents
+"""
+
+
 TEXTOPS_QUERIES = {
+    "blob_metadata": q_blob_metadata,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_signatures": q_minhash_signatures,
@@ -351,6 +380,7 @@ TEXTOPS_QUERIES = {
 }
 
 TEXTOPS_ORACLES = {
+    "blob_metadata": SQL_BLOB_METADATA,
     "dedup_exact": SQL_DEDUP_EXACT,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "minhash_signatures": _sql_minhash(),
