@@ -80,26 +80,90 @@ def run_suite(parallelism: int, sf_dir: str) -> dict:
     return {"timings": timings, "total": round(total, 4), "n_docs": n_docs}
 
 
+def run_scaling(sf_dir: str, sf: str) -> None:
+    """North-rule evidence: same job at local[8] (N) vs local[32] (4N).
+
+    The sandbox testdata is tiny (5k docs at sf0.1), so fixed scheduler
+    overhead would swamp any scaling signal; the corpus is therefore
+    expanded DETERMINISTICALLY (sources.corpus.expand_documents — pure
+    column exprs, no RNG) to a compute-bound size before measuring.
+    """
+    import time
+
+    from pyspark.sql import SparkSession
+
+    from information_retrieval_system_spark.analysis.analyzer import analyze_query_terms
+    from information_retrieval_system_spark.config import EngineConfig
+    from information_retrieval_system_spark.index.builder import build_index
+    from information_retrieval_system_spark.query import scoring
+    from information_retrieval_system_spark.session import get_spark
+    from information_retrieval_system_spark.sources.corpus import expand_documents
+
+    factor = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "40"))
+    # the sandbox host's delivered CPU drifts over minutes; reps are
+    # INTERLEAVED across the two parallelism levels and the min per level
+    # is reported, which cancels slow-host windows instead of letting
+    # them land on one side of the comparison
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    results = {}
+
+    def one_rep(par: int) -> tuple[int, float, float]:
+        active = SparkSession.getActiveSession()
+        if active is not None:
+            active.stop()
+        # identical plan at both core counts: shuffle partitioning fixed
+        spark = get_spark(f"scaling-{par}", parallelism=par, shuffle_partitions=64)
+        cfg = EngineConfig()
+        docs = expand_documents(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"), factor
+        ).cache()
+        n_docs = docs.count()
+        t0 = time.perf_counter()
+        index = build_index(docs, cfg, doc_col="doc_id", text_col="text",
+                            with_positions=False)
+        index.postings.count(); index.docs.count(); index.terms.count()
+        build_s = time.perf_counter() - t0
+        lat = []
+        for qtext in ["spark join merge", "vector stream window", "batch group hash"]:
+            t0 = time.perf_counter()
+            qt = analyze_query_terms(spark, qtext, cfg)
+            scoring.bm25_search(index, qt, k=20, cfg=cfg).collect()
+            lat.append(time.perf_counter() - t0)
+        docs.unpersist()
+        return n_docs, build_s, sum(lat) / len(lat)
+
+    for _ in range(reps):
+        for par in (8, 32):
+            n_docs, build_s, ql = one_rep(par)
+            cur = results.setdefault(par, {"n_docs": n_docs,
+                                           "build_sec": build_s,
+                                           "query_latency_sec": ql})
+            cur["build_sec"] = min(cur["build_sec"], build_s)
+            cur["query_latency_sec"] = min(cur["query_latency_sec"], ql)
+    for par, cur in results.items():
+        cur["build_sec"] = round(cur["build_sec"], 3)
+        cur["docs_per_sec"] = round(cur["n_docs"] / cur["build_sec"], 1)
+        cur["query_latency_sec"] = round(cur["query_latency_sec"], 3)
+    thr_lo, thr_hi = results[8]["docs_per_sec"], results[32]["docs_per_sec"]
+    eff = thr_hi / (thr_lo * 4.0)
+    print(json.dumps({
+        "metric": "scaling",
+        "parallelism": {"N": 8, "4N": 32},
+        "N": results[8],
+        "4N": results[32],
+        "scaling_efficiency": round(eff, 4),
+        "expand_factor": factor,
+        "sf": sf,
+    }))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
     if "--scaling" in sys.argv:
-        lo, hi = 8, 32
-        r_lo = run_suite(lo, sf_dir)
-        r_hi = run_suite(hi, sf_dir)
-        thr_lo = r_lo["timings"]["build_docs_per_sec"]
-        thr_hi = r_hi["timings"]["build_docs_per_sec"]
-        eff = thr_hi / (thr_lo * (hi / lo))
-        print(json.dumps({
-            "metric": "scaling",
-            "parallelism": {"N": lo, "4N": hi},
-            "build_docs_per_sec": {"N": thr_lo, "4N": thr_hi},
-            "total_sec": {"N": r_lo["total"], "4N": r_hi["total"]},
-            "scaling_efficiency": round(eff, 4),
-            "sf": sf,
-        }))
+        run_scaling(sf_dir, sf)
         return
 
     res = run_suite(cpus, sf_dir)

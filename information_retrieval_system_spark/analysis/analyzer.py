@@ -116,21 +116,31 @@ def analyze_tokens(
     return toks.withColumn("term", porter_stem_udf("token")).drop("token")
 
 
-def analyze_query_terms(spark, query: str, cfg) -> DataFrame:
-    """§2.8 prepareQuery: query string -> (term, qtf double).
+def analyze_query_string(query: str, use_stopwords: bool = True,
+                         use_stemmer: bool = True) -> dict[str, int]:
+    """§2.8 prepareQuery, DRIVER-SIDE: query string -> {term: qtf}.
+
+    A query is O(10) tokens; analyzing it distributed is pure overhead
+    (python-worker spin-up + shuffles), so the query side runs the same
+    spec in plain Python.  Token parity with the distributed corpus
+    analyzer is asserted by tests/test_analyzer.py.
 
     Deviation from the reference (documented, SURVEY.md §7): query text IS
     lowercased (the reference drops the ``toLowerCase`` result,
     Search_FR.java:154).  Duplicate query terms accumulate qtf
     (Search_FR.java:231-239); BM25 ignores qtf, VSM uses it.
     """
-    qdf = spark.createDataFrame([(query,)], "query string")
-    terms = analyze_tokens(
-        qdf,
-        "query",
-        id_cols=[],
-        use_stopwords=cfg.use_stopwords,
-        use_stemmer=cfg.use_stemmer,
-        stem_via_join=False,
-    )
-    return terms.groupBy("term").agg(F.count("*").cast("double").alias("qtf"))
+    from ..oracle.pyref import analyze  # same spec implementation
+
+    terms, _ = analyze(query, use_stopwords, use_stemmer)
+    out: dict[str, int] = {}
+    for _, t in terms:
+        out[t] = out.get(t, 0) + 1
+    return out
+
+
+def analyze_query_terms(spark, query: str, cfg) -> DataFrame:
+    """query string -> DataFrame(term, qtf double) — tiny, driver-built."""
+    qts = analyze_query_string(query, cfg.use_stopwords, cfg.use_stemmer)
+    rows = [(t, float(c)) for t, c in sorted(qts.items())]
+    return spark.createDataFrame(rows, "term string, qtf double")

@@ -1,0 +1,194 @@
+"""Gradeable queries: batch multi-query BM25, per-field term stats,
+query expansion, WAND top-k (same oracle as exact BM25 — WAND is exact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import entry_queries as EQ
+from .index.builder import field_term_stats
+from .query import scoring
+from .query.batch import batch_bm25_search, expand_query_terms
+
+#: fixed query set, stem/stop off so the oracle is literal (qid, term) rows
+BATCH_QUERIES = [
+    (1, ("spark", "join", "merge")),
+    (2, ("vector", "stream", "window")),
+    (3, ("batch", "group")),
+    (4, ("zzznotfound",)),
+    (5, ("filter", "sort", "key", "hash")),
+]
+BATCH_K = 10
+
+#: fixed expansion dictionary (the WordNet/GloVe slot); weights include a
+#: negative "antonym" row like the reference's -1.5 (Search_FR.java:447)
+EXPANSIONS = [
+    ("spark", "flame", 1.0),
+    ("spark", "slow", -1.5),
+    ("join", "merge", 0.5),
+    ("merge", "join", 0.5),
+]
+
+
+def _batch_terms_df(spark: SparkSession) -> DataFrame:
+    rows = [(qid, t, 1.0) for qid, terms in BATCH_QUERIES for t in terms]
+    return spark.createDataFrame(rows, "qid long, term string, qtf double")
+
+
+def q_batch_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ix = EQ.get_index(spark, sf_dir)
+    out = batch_bm25_search(ix, _batch_terms_df(spark), k=BATCH_K, cfg=EQ.NOSTEM_CFG)
+    return out.select(
+        "qid",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def _sql_batch_queries() -> str:
+    rows = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in BATCH_QUERIES for t in terms
+    )
+    return f"(VALUES {rows}) q(qid, term)"
+
+
+SQL_BATCH_BM25 = f"""
+WITH {EQ.TOKS_CTE},
+post AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM post GROUP BY 1),
+dl AS (SELECT d.doc_id, CAST(coalesce(t.dl, 0) AS DOUBLE) AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1) t USING (doc_id)),
+stats AS (SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n,
+                 CAST((SELECT count(*) FROM toks) // (SELECT count(*) FROM documents) AS DOUBLE) AS avgdl),
+q AS (SELECT qid, term FROM {_sql_batch_queries()}),
+scored AS (
+  SELECT q.qid, p.doc_id,
+         (ln((s.n - f.df + 0.5) / (f.df + 0.5)) / ln(2))
+           * p.tf * ({EQ.K1} + 1)
+           / (p.tf + {EQ.K1} * (1 - {EQ.B} + {EQ.B} * d.dl / s.avgdl)) AS ts
+  FROM post p JOIN q USING (term) JOIN dft f USING (term)
+  JOIN dl d USING (doc_id) CROSS JOIN stats s
+),
+agg AS (SELECT qid, doc_id, sum(ts) AS score FROM scored GROUP BY 1, 2),
+ranked AS (
+  SELECT qid, doc_id, row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rank, score
+  FROM agg
+)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(rank AS BIGINT) AS rank, round(score, 4) AS score
+FROM ranked WHERE rank <= {BATCH_K}
+"""
+
+
+def q_field_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = EQ.load_documents(spark, sf_dir)
+    out = field_term_stats(docs, "text", "lang", EQ.NOSTEM_CFG)
+    return out.select(F.col("field").alias("lang"), "term", "tf", "df")
+
+
+SQL_FIELD_TERM_STATS = """
+WITH raw AS (
+  SELECT lang, doc_id,
+         unnest(string_split_regex(trim(lower(regexp_replace(regexp_replace(text,
+              '[^\\p{L}\\p{Nd}]+', ' ', 'g'), '[0-9]', ' ', 'g'))), ' +')) AS term
+  FROM documents
+),
+toks AS (SELECT lang, doc_id, term FROM raw WHERE term <> '')
+SELECT lang, term, CAST(count(*) AS BIGINT) AS tf,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+FROM toks GROUP BY lang, term
+"""
+
+
+def q_expanded_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ix = EQ.get_index(spark, sf_dir)
+    base = EQ.query_terms_df(spark)
+    exp = spark.createDataFrame(EXPANSIONS, "term string, expansion string, weight double")
+    qt = expand_query_terms(base, exp, expansion_weight=1.0)
+    # VSM uses qtf, making expansion weights observable in scores
+    res = scoring.vsm_search(ix, qt, k=EQ.TOPK, cfg=EQ.NOSTEM_CFG)
+    return res.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      F.round("score", 4).alias("score"))
+
+
+def _sql_expansions() -> str:
+    rows = ", ".join(f"('{t}', '{e}', {w})" for t, e, w in EXPANSIONS)
+    return f"(VALUES {rows}) ex(term, expansion, weight)"
+
+
+SQL_EXPANDED_BM25 = f"""
+WITH {EQ.TOKS_CTE},
+post AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM post GROUP BY 1),
+stats AS (SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n),
+norms AS (
+  SELECT p.doc_id,
+         sum(pow(p.tf * ln(floor((s.n + 1) / f.df)) / ln(2), 2)) AS norm2
+  FROM post p JOIN dft f USING (term) CROSS JOIN stats s
+  GROUP BY p.doc_id
+),
+base AS (SELECT unnest({EQ._sql_terms_list()}) AS term, 1.0 AS qtf),
+ex AS (SELECT term, expansion, weight FROM {_sql_expansions()}),
+extra AS (SELECT e.expansion AS term, b.qtf * e.weight * 1.0 AS qtf
+          FROM base b JOIN ex e USING (term)),
+qterms AS (
+  SELECT term, sum(qtf) AS qtf FROM (
+    SELECT term, qtf FROM base UNION ALL SELECT term, qtf FROM extra)
+  GROUP BY term
+),
+qw AS (SELECT q.term, q.qtf * ln(s.n / f.df) / ln(2) AS w_q
+       FROM qterms q JOIN dft f USING (term) CROSS JOIN stats s),
+qnorm AS (SELECT sum(w_q * w_q) AS q_norm2 FROM qw),
+dots AS (
+  SELECT p.doc_id, sum(p.tf * (ln(s.n / f.df) / ln(2)) * w.w_q) AS dot
+  FROM post p JOIN qw w USING (term) JOIN dft f USING (term) CROSS JOIN stats s
+  GROUP BY p.doc_id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       round(CASE WHEN n.norm2 > 0 AND qn.q_norm2 > 0
+                  THEN d.dot / sqrt(n.norm2 * qn.q_norm2) ELSE 0 END, 4) AS score
+FROM dots d JOIN norms n USING (doc_id) CROSS JOIN qnorm qn
+ORDER BY (CASE WHEN n.norm2 > 0 AND qn.q_norm2 > 0
+               THEN d.dot / sqrt(n.norm2 * qn.q_norm2) ELSE 0 END) DESC, d.doc_id ASC
+LIMIT {EQ.TOPK}
+"""
+
+
+_BLOCK_CACHE: dict[str, tuple] = {}
+
+
+def q_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k via the block-max WAND kernel; oracle = the exhaustive
+    BM25 SQL (WAND prunes but never changes the result)."""
+    from .index.compression import build_block_postings, build_dl_blocks
+    from .query.wand import bm25_topk_wand
+
+    ix = EQ.get_index(spark, sf_dir)
+    if sf_dir not in _BLOCK_CACHE:
+        blocks = build_block_postings(ix.postings, block_span=256).cache()
+        dlb = build_dl_blocks(ix.docs, block_span=256).cache()
+        blocks.count(); dlb.count()
+        _BLOCK_CACHE[sf_dir] = (blocks, dlb)
+    blocks, dlb = _BLOCK_CACHE[sf_dir]
+    out = bm25_topk_wand(blocks, dlb, ix.terms, ix.stats,
+                         list(EQ.QUERY_TERMS), k=EQ.TOPK, cfg=EQ.NOSTEM_CFG,
+                         block_span=256, docs=ix.docs)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      F.round("score", 4).alias("score"))
+
+
+BATCH_QUERIES_REG = {
+    "batch_bm25": q_batch_bm25,
+    "field_term_stats": q_field_term_stats,
+    "expanded_vsm": q_expanded_bm25,
+    "wand_topk": q_wand_topk,
+}
+
+BATCH_ORACLES = {
+    "batch_bm25": SQL_BATCH_BM25,
+    "field_term_stats": SQL_FIELD_TERM_STATS,
+    "expanded_vsm": SQL_EXPANDED_BM25,
+    "wand_topk": EQ.SQL_BM25_TOPK,
+}

@@ -371,6 +371,7 @@ FROM events
 
 from .entry_textops import TEXTOPS_ORACLES, TEXTOPS_QUERIES  # noqa: E402
 from .entry_graph import GRAPH_ORACLES, GRAPH_QUERIES  # noqa: E402
+from .entry_batch import BATCH_ORACLES, BATCH_QUERIES_REG  # noqa: E402
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "term_df": q_term_df,
@@ -387,6 +388,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_running": q_events_running,
     **TEXTOPS_QUERIES,
     **GRAPH_QUERIES,
+    **BATCH_QUERIES_REG,
 }
 
 ORACLES: dict[str, str] = {
@@ -404,4 +406,5 @@ ORACLES: dict[str, str] = {
     "events_running": SQL_EVENTS_RUNNING,
     **TEXTOPS_ORACLES,
     **GRAPH_ORACLES,
+    **BATCH_ORACLES,
 }

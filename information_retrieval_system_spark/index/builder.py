@@ -9,11 +9,9 @@ partial+final hash aggregation IS the partial-index dump plus the k-way
 merge, with spilling handled by the engine.
 
 Scale notes (10^12 files / 1000 executors):
-- doc_int assignment is the only global sort; it is deterministic
-  (``row_number() over (order by doc key)``) so resume reproduces ids.
-  At extreme scale swap in a two-phase id assignment (per-partition counts
-  -> prefix-sum offsets) — same determinism, no single-stage sort; we keep
-  row_number here because Catalyst handles it via range partitioning.
+- doc_int assignment is deterministic AND parallel: a two-phase scheme
+  (range partition -> per-partition rank -> prefix-sum offsets, see
+  ``assign_doc_ints``) that never funnels the corpus through one task.
 - postings are bucketed by ``hash(term) % term_buckets``: the query path
   prunes to the buckets of its query terms, and resume re-runs only
   missing buckets.
@@ -33,7 +31,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..analysis.analyzer import analyze_tokens, doc_length_expr
+from ..analysis.analyzer import analyze_tokens, doc_length_expr, porter_stem_udf
 from ..config import DEFAULT_CONFIG, EngineConfig
 
 
@@ -52,11 +50,53 @@ class IndexTables:
     stats: dict          # n_docs, avgdl (floored long), n_postings, total_len
 
 
-def assign_doc_ints(corpus: DataFrame, doc_col: str) -> DataFrame:
+def assign_doc_ints(corpus: DataFrame, doc_col: str, num_ranges: int | None = None) -> DataFrame:
     """Deterministic dense int ids (mirrors the ingestion counter,
-    Indexer.java:630-632, made order-independent via a stable sort)."""
-    w = Window.orderBy(F.col(doc_col))
-    return corpus.withColumn("doc_int", F.row_number().over(w).cast("long"))
+    Indexer.java:630-632, made order-independent by ranking on the doc key).
+
+    Scale-safe two-phase scheme — a naive ``row_number() over (order by
+    key)`` funnels the whole corpus through ONE partition
+    (Exchange SinglePartition); instead:
+
+    1. range-partition by the doc key (parallel sort, P partitions);
+    2. rank within each range partition (parallel window per partition);
+    3. add per-partition offsets from a tiny counts job.
+
+    Deterministic regardless of sampled range boundaries: concatenating
+    range partitions in partition order yields the global key order, so
+    ``offset[pid] + local_rank`` IS the global rank of the (unique) key.
+    """
+    spark = corpus.sparkSession
+    if num_ranges is None:
+        num_ranges = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = corpus.repartitionByRange(num_ranges, F.col(doc_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    # per-partition ranking: the window shuffles by _pid, which preserves
+    # the range grouping; orderBy(key) inside re-establishes order.
+    w = Window.partitionBy("_pid").orderBy(F.col(doc_col))
+    # persisted (disk, not exec memory): the pid assignment must be
+    # IDENTICAL between the counts job and downstream consumers (range
+    # boundaries are sampled per execution), and the corpus-sized rows
+    # must not squeeze the shuffle/agg memory of the heavy stages.  In
+    # production this stage is a written table (Iceberg), same property.
+    from pyspark import StorageLevel
+
+    local = ranged.withColumn("_rn", F.row_number().over(w)).persist(StorageLevel.DISK_ONLY)
+    counts = {
+        r["_pid"]: r["c"]
+        for r in local.groupBy("_pid").agg(F.count("*").alias("c")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_map = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    return local.withColumn(
+        "doc_int", (off_map[F.col("_pid")] + F.col("_rn")).cast("long")
+    ).drop("_pid", "_rn")
 
 
 def build_index(
@@ -81,33 +121,60 @@ def build_index(
     # slim projection, not the content
     docs_slim = docs_base.select("doc_id", "doc_int", "length").cache()
 
+    # ONE pass over raw text: tokenize (T2/T3) + stop-filter (T5/T6),
+    # unstemmed.  Stemming is deferred until AFTER the (token, doc)
+    # aggregation so the expensive regex+explode never runs twice — the
+    # naive "distinct tokens then join" plan re-tokenizes the whole
+    # corpus for the distinct.
     tokens = analyze_tokens(
         docs_base.select("doc_id", "doc_int", "content"),
         text_col="content",
         id_cols=["doc_id", "doc_int"],
         use_stopwords=cfg.use_stopwords,
-        use_stemmer=cfg.use_stemmer,
-    )
+        use_stemmer=False,
+    ).withColumnRenamed("term", "token")
 
-    # A1: tf per (term, doc). Catalyst does map-side partial aggregation;
-    # for pathological skew we additionally salt: pre-agg on
-    # (term, salt, doc) never widens the final (term, doc) key, so the
-    # plain two-level hash agg is already the salted plan for tf.
-    agg_cols = [F.count("*").cast("int").alias("tf")]
+    # A1 level 1: tf per (token, doc) — Catalyst partial+final hash agg
+    # (the map-side combine IS the salted pre-aggregation for the tf
+    # metric: the reduce key (token, doc) never concentrates on one
+    # reducer because doc spreads hot tokens across partitions).
+    agg1 = [F.count("*").cast("int").alias("tf")]
     if with_positions:
-        agg_cols.append(F.sort_array(F.collect_list("pos")).alias("positions"))
-    postings = (
-        tokens.groupBy("term", "doc_id", "doc_int")
-        .agg(*agg_cols)
-    )
+        agg1.append(F.sort_array(F.collect_list("pos")).alias("positions"))
+    tok_doc = tokens.groupBy("token", "doc_id", "doc_int").agg(*agg1)
+
+    if cfg.use_stemmer:
+        # staged to DISK (not exec memory): read twice (distinct + join);
+        # deserialized memory caching of this corpus-sized intermediate
+        # measurably degrades >1M docs (eviction churn), while disk
+        # staging holds throughput flat — and mirrors the production
+        # design where each stage is a written Iceberg table.
+        from pyspark import StorageLevel
+
+        tok_doc = tok_doc.persist(StorageLevel.DISK_ONLY)
+        # stem the DISTINCT token set of the aggregate (orders of
+        # magnitude smaller than the token stream) and broadcast it back
+        stems = tok_doc.select("token").distinct().withColumn(
+            "term", porter_stem_udf("token")
+        )
+        merged = tok_doc.join(F.broadcast(stems), "token", "inner")
+        # A1 level 2: stem variants of one doc collapse into one posting
+        agg2 = [F.sum("tf").cast("int").alias("tf")]
+        if with_positions:
+            agg2.append(
+                F.sort_array(F.flatten(F.collect_list("positions"))).alias("positions")
+            )
+        postings = merged.groupBy("term", "doc_id", "doc_int").agg(*agg2)
+    else:
+        postings = tok_doc.withColumnRenamed("token", "term")
     postings = postings.cache()
 
     # A3: df/cf per term (partial+final agg replaces merge-time df1+df2,
-    # Indexer.java:842)
+    # Indexer.java:842).  Cached: every query broadcast-joins this table.
     terms = postings.groupBy("term").agg(
         F.count("*").cast("long").alias("df"),
         F.sum("tf").cast("long").alias("cf"),
-    )
+    ).cache()
 
     # A4: N + floored avgDL (integer division, Indexer.java:688-691)
     stat_row = docs_slim.agg(
@@ -117,7 +184,7 @@ def build_index(
     n_docs = int(stat_row["n_docs"])
     total_len = int(stat_row["total_len"] or 0)
     avgdl = total_len // n_docs if n_docs else 0
-    n_postings = postings.count()
+    n_postings = int(terms.agg(F.sum("df")).collect()[0][0] or 0)  # Σdf == posting rows; no extra pass
 
     # A5: VSM norms — second pass over postings, idf uses the reference's
     # Java-int floor division (N+1)/df (Index.java:371). Stored SQUARED,
@@ -132,11 +199,12 @@ def build_index(
         .agg(F.sum(F.col("w") * F.col("w")).alias("norm"))
     )
 
+    # Cached: the norm aggregation must not rerun per query.
     docs = (
         docs_slim.join(norm_df, "doc_id", "left")
         .withColumn("norm", F.coalesce(F.col("norm"), F.lit(0.0)))
         .withColumn("pagerank", F.lit(0.0))
-    )
+    ).cache()
 
     stats = {
         "n_docs": n_docs,
@@ -145,6 +213,32 @@ def build_index(
         "n_postings": n_postings,
     }
     return IndexTables(postings=postings, docs=docs, terms=terms, stats=stats)
+
+
+def field_term_stats(
+    corpus: DataFrame,
+    text_col: str,
+    field_col: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """A2: tf/df per (field, term) — the reference's per-field statistics
+    exercise (`A1occur`, Indexer.java:200-255) generalized: ``field_col``
+    is any categorical column (language, repo, source...)."""
+    from ..analysis.analyzer import analyze_tokens
+
+    toks = analyze_tokens(
+        corpus.select(F.col(field_col).alias("field"), F.col(text_col).alias("content"))
+        .withColumn("_rid", F.monotonically_increasing_id()),
+        "content",
+        ["field", "_rid"],
+        use_stopwords=cfg.use_stopwords,
+        use_stemmer=cfg.use_stemmer,
+        stem_via_join=False,
+    )
+    return toks.groupBy("field", "term").agg(
+        F.count("*").cast("long").alias("tf"),
+        F.countDistinct("_rid").cast("long").alias("df"),
+    )
 
 
 def term_bucket_expr(term, n_buckets: int):

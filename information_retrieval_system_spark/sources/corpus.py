@@ -1,0 +1,55 @@
+"""Corpus loading / shaping utilities.
+
+The engine's canonical input (BASELINE.json ``input_hint``) is an Iceberg
+table ``corpus(repo, path, commit, lang, content)``; the sandbox testdata
+ships a ``documents(doc_id, text, lang, source, n_chars)`` table.  Both
+shapes are accepted by ``build_index`` via column parameters; the helpers
+here map between them and deterministically scale the corpus up for
+compute-bound benchmarks (no external data, no RNG — pure column
+expressions, so the expansion is reproducible by construction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+CORPUS_COLUMNS = ("repo", "path", "commit", "lang", "content")
+
+
+def corpus_from_documents(docs: DataFrame) -> DataFrame:
+    """documents(doc_id, text, lang, source, ...) -> input_hint shape.
+
+    ``commit`` = sha1-style 40-hex of the row identity (mirrors the
+    reference's 40-hex doc hash, Index.java:270); doc identity =
+    (repo, path, commit).
+    """
+    return docs.select(
+        F.concat(F.lit("org/"), F.col("source")).alias("repo"),
+        F.concat(F.lit("src/f"), F.col("doc_id").cast("string"), F.lit(".txt")).alias("path"),
+        F.sha1(F.concat_ws(":", F.col("source"), F.col("doc_id").cast("string"))).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )
+
+
+def doc_key_expr() -> F.Column:
+    """Canonical doc_id for the corpus shape: sha1(repo||path||commit)."""
+    return F.sha1(F.concat_ws("|", F.col("repo"), F.col("path"), F.col("commit")))
+
+
+def expand_documents(docs: DataFrame, factor: int) -> DataFrame:
+    """Deterministically replicate documents ``factor`` times.
+
+    Replica k of doc d gets doc_id = d + k*N and a replica marker token
+    appended (so replicas are not byte-identical and term stats shift
+    realistically).  Pure column expressions — same output every run.
+    """
+    n = docs.count()
+    k = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("k")
+    out = docs.select("doc_id", "text", k)
+    return out.select(
+        (F.col("doc_id") + F.col("k") * n).alias("doc_id"),
+        F.when(F.col("k") == 0, F.col("text")).otherwise(
+            F.concat(F.col("text"), F.lit(" replica"), F.col("k").cast("string"))
+        ).alias("text"),
+    )
