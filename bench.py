@@ -11,7 +11,8 @@ and per-query latencies, which BASELINE.md tracks against the reference's
 single-thread build numbers.
 
 ``--scaling`` mode runs the index build + query set at two parallelism
-levels (local[8] vs local[32], the sandbox stand-in for N vs 4N
+levels (default local[4] vs local[16] — see run_scaling's docstring for
+why not (8, 32) on this host; the sandbox stand-in for N vs 4N
 executors) and reports throughput at both plus scaling efficiency — the
 BASELINE.json north_rule evidence.
 """
@@ -81,7 +82,14 @@ def run_suite(parallelism: int, sf_dir: str) -> dict:
 
 
 def run_scaling(sf_dir: str, sf: str) -> None:
-    """North-rule evidence: same job at local[8] (N) vs local[32] (4N).
+    """North-rule evidence: same job at local[N] vs local[4N] cores.
+
+    Default pair is (4, 16), NOT (8, 32): the sandbox's 32 advertised
+    vCPUs deliver only ~18 cores of real throughput (a pure-CPU hash
+    burn scales 8->32 workers at 0.57 efficiency but 4->16 at 0.91 —
+    hypervisor overcommit), so (8, 32) measures the host's ceiling, not
+    the engine.  Both levels of (4, 16) fit inside the delivered
+    capacity; override with SPARK_GRAFT_SCALE_N.
 
     The sandbox testdata is tiny (5k docs at sf0.1), so fixed scheduler
     overhead would swamp any scaling signal; the corpus is therefore
@@ -118,6 +126,17 @@ def run_scaling(sf_dir: str, sf: str) -> None:
             spark.read.parquet(f"{sf_dir}/documents.parquet"), factor
         ).cache()
         n_docs = docs.count()
+        # warm-up build (JIT, codegen, arrow python pool) then measure:
+        # cluster throughput questions are about steady state, not JVM
+        # cold start, and each rep necessarily boots a fresh JVM
+        warm = expand_documents(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"), max(factor // 8, 1)
+        )
+        wix = build_index(warm, cfg, doc_col="doc_id", text_col="text",
+                          with_positions=False)
+        wix.postings.count(); wix.docs.count(); wix.terms.count()
+        spark.catalog.clearCache()
+        docs = docs.cache(); docs.count()
         t0 = time.perf_counter()
         index = build_index(docs, cfg, doc_col="doc_id", text_col="text",
                             with_positions=False)
@@ -132,8 +151,10 @@ def run_scaling(sf_dir: str, sf: str) -> None:
         docs.unpersist()
         return n_docs, build_s, sum(lat) / len(lat)
 
+    n_lo = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
+    n_hi = 4 * n_lo
     for _ in range(reps):
-        for par in (8, 32):
+        for par in (n_lo, n_hi):
             n_docs, build_s, ql = one_rep(par)
             cur = results.setdefault(par, {"n_docs": n_docs,
                                            "build_sec": build_s,
@@ -144,13 +165,13 @@ def run_scaling(sf_dir: str, sf: str) -> None:
         cur["build_sec"] = round(cur["build_sec"], 3)
         cur["docs_per_sec"] = round(cur["n_docs"] / cur["build_sec"], 1)
         cur["query_latency_sec"] = round(cur["query_latency_sec"], 3)
-    thr_lo, thr_hi = results[8]["docs_per_sec"], results[32]["docs_per_sec"]
+    thr_lo, thr_hi = results[n_lo]["docs_per_sec"], results[n_hi]["docs_per_sec"]
     eff = thr_hi / (thr_lo * 4.0)
     print(json.dumps({
         "metric": "scaling",
-        "parallelism": {"N": 8, "4N": 32},
-        "N": results[8],
-        "4N": results[32],
+        "parallelism": {"N": n_lo, "4N": n_hi},
+        "N": results[n_lo],
+        "4N": results[n_hi],
         "scaling_efficiency": round(eff, 4),
         "expand_factor": factor,
         "sf": sf,

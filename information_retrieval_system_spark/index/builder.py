@@ -113,10 +113,18 @@ def build_index(
     """
     spark = corpus.sparkSession
 
-    docs_base = assign_doc_ints(
-        corpus.select(F.col(doc_col).alias("doc_id"), F.col(text_col).alias("content")),
-        "doc_id",
-    ).withColumn("length", doc_length_expr(F.col("content")))
+    slim_corpus = corpus.select(F.col(doc_col).alias("doc_id"), F.col(text_col).alias("content"))
+    doc_type = dict(slim_corpus.dtypes)["doc_id"]
+    if doc_type in ("tinyint", "smallint", "int", "bigint"):
+        # doc key is already an integer: use it directly as doc_int — the
+        # ranking pass (range shuffle + per-partition window + counts
+        # job) exists only to densify STRING keys, and skipping it saves
+        # a full corpus pass.  doc_int ordering == doc_id ordering either
+        # way, which is all compression/WAND rely on.
+        docs_base = slim_corpus.withColumn("doc_int", F.col("doc_id").cast("long"))
+    else:
+        docs_base = assign_doc_ints(slim_corpus, "doc_id")
+    docs_base = docs_base.withColumn("length", doc_length_expr(F.col("content")))
     # doc ids + lengths are reused by several downstream jobs; cache the
     # slim projection, not the content
     docs_slim = docs_base.select("doc_id", "doc_int", "length").cache()

@@ -164,3 +164,41 @@ def build_dl_blocks(docs: DataFrame, block_span: int = DEFAULT_BLOCK_SPAN) -> Da
 
 def decode_block(docs_vb: bytes, tfs_vb: bytes) -> tuple[np.ndarray, np.ndarray]:
     return delta_decode(vbyte_decode(docs_vb)), vbyte_decode(tfs_vb)
+
+
+# ---------------------------------------------------------------------------
+# persistence (the compressed serving layout)
+# ---------------------------------------------------------------------------
+
+def write_block_index(
+    blocks: DataFrame,
+    dl_blocks: DataFrame,
+    out_dir: str,
+    term_buckets: int = 32,
+) -> None:
+    """Persist the compressed serving index.
+
+    Blocks are partitioned by ``tbucket = hash(term) % term_buckets`` so a
+    query touching T terms scans at most T buckets (partition pruning —
+    the columnar analog of the reference's vocabulary offset pointers),
+    and sorted within partitions by (term, block_id) for row-group
+    locality."""
+    import os
+
+    (
+        blocks.withColumn("tbucket", F.pmod(F.xxhash64("term"), F.lit(term_buckets)).cast("int"))
+        .repartition(term_buckets, "tbucket")
+        .sortWithinPartitions("term", "block_id")
+        .write.mode("overwrite")
+        .partitionBy("tbucket")
+        .parquet(os.path.join(out_dir, "blocks"))
+    )
+    dl_blocks.write.mode("overwrite").parquet(os.path.join(out_dir, "dl_blocks"))
+
+
+def read_block_index(spark, out_dir: str) -> tuple[DataFrame, DataFrame]:
+    import os
+
+    blocks = spark.read.parquet(os.path.join(out_dir, "blocks")).drop("tbucket")
+    dl_blocks = spark.read.parquet(os.path.join(out_dir, "dl_blocks"))
+    return blocks, dl_blocks
