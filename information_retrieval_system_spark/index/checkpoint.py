@@ -131,6 +131,14 @@ class ResumableIndexBuild:
             _save_manifest(self.out_dir, m)
             written += 1
 
+        # --- stage: skew observability -----------------------------------
+        if not m["stages"].get("skew"):
+            from .skew import skew_stats
+
+            m["metrics"]["skew"] = skew_stats(tables.postings, tables.stats["n_docs"])
+            m["stages"]["skew"] = True
+            _save_manifest(self.out_dir, m)
+
         # --- stage: terms + stats ----------------------------------------
         if not m["stages"].get("terms"):
             tables.terms.write.mode("overwrite").parquet(os.path.join(self.out_dir, "terms"))
