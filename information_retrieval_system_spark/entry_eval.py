@@ -1,0 +1,164 @@
+"""Gradeable queries: end-to-end retrieval evaluation (AP/nDCG — R9),
+tumbling-window event aggregation, rollup aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import entry_queries as EQ
+from .entry_batch import SQL_BATCH_BM25, _batch_terms_df, BATCH_K
+from .evaluation.metrics import evaluate
+from .query.batch import batch_bm25_search
+
+#: eval over the batch query set, minus the no-hit query (qid 4) so the
+#: engine and the oracle trivially cover the same qid set
+EVAL_QIDS = (1, 2, 3, 5)
+
+#: deterministic qrels: relevance = 1 iff (doc_id*3 + qid*17) % 10 < 3,
+#: restricted to doc_id < 200 — same expression on both sides
+QRELS_WHERE = "(doc_id * 3 + qid * 17) % 10 < 3"
+
+
+def _qrels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = EQ.load_documents(spark, sf_dir).select("doc_id").filter("doc_id < 200")
+    qids = spark.createDataFrame([(q,) for q in EVAL_QIDS], "qid long")
+    return qids.crossJoin(docs).withColumn(
+        "relevance",
+        ((F.col("doc_id") * 3 + F.col("qid") * 17) % 10 < 3).cast("int"),
+    )
+
+
+def q_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ix = EQ.get_index(spark, sf_dir)
+    qt = _batch_terms_df(spark).filter(F.col("qid").isin(*EVAL_QIDS))
+    results = batch_bm25_search(ix, qt, k=BATCH_K, cfg=EQ.NOSTEM_CFG).select(
+        "qid", "doc_id", "score"
+    )
+    out = evaluate(results, _qrels(spark, sf_dir))
+    return out.select(
+        F.round("mean_ap", 4).alias("mean_ap"),
+        F.round("min_ap", 4).alias("min_ap"),
+        F.round("max_ap", 4).alias("max_ap"),
+        F.round("mean_ndcg", 4).alias("mean_ndcg"),
+        F.round("min_ndcg", 4).alias("min_ndcg"),
+        F.round("max_ndcg", 4).alias("max_ndcg"),
+    )
+
+
+def _sql_eval_metrics() -> str:
+    qid_list = ", ".join(str(q) for q in EVAL_QIDS)
+    batch = SQL_BATCH_BM25.strip().rstrip()
+    # reuse the batch-BM25 oracle as a subquery, then window AP/nDCG
+    return f"""
+WITH results AS (
+  SELECT qid, doc_id, rank, score FROM ({batch}) WHERE qid IN ({qid_list})
+),
+qrels AS (
+  SELECT q.qid, d.doc_id,
+         CASE WHEN (d.doc_id * 3 + q.qid * 17) % 10 < 3 THEN 1 ELSE 0 END AS relevance
+  FROM (SELECT unnest([{qid_list}]) AS qid) q
+  CROSS JOIN (SELECT doc_id FROM documents WHERE doc_id < 200) d
+),
+ranked AS (
+  SELECT r.qid, r.doc_id,
+         row_number() OVER (PARTITION BY r.qid ORDER BY r.score DESC, r.doc_id ASC) AS rank,
+         coalesce(qr.relevance, 0) AS rel
+  FROM results r LEFT JOIN qrels qr ON qr.qid = r.qid AND qr.doc_id = r.doc_id
+),
+prec AS (
+  SELECT qid, rank, rel,
+         sum(rel) OVER (PARTITION BY qid ORDER BY rank) * 1.0 / rank AS p_at
+  FROM ranked
+),
+ap AS (
+  SELECT p.qid, sum(p.p_at * p.rel) / t.n_rel AS ap
+  FROM prec p
+  JOIN (SELECT qid, count(*) AS n_rel FROM qrels WHERE relevance > 0 GROUP BY qid) t
+    ON t.qid = p.qid
+  GROUP BY p.qid, t.n_rel
+),
+dcg AS (
+  SELECT qid, sum((pow(2.0, rel) - 1) / (ln(rank + 1) / ln(2))) AS dcg
+  FROM ranked GROUP BY qid
+),
+ideal AS (
+  SELECT qid, relevance,
+         row_number() OVER (PARTITION BY qid ORDER BY relevance DESC, doc_id ASC) AS irank
+  FROM qrels
+),
+idcg AS (
+  SELECT qid, sum((pow(2.0, relevance) - 1) / (ln(irank + 1) / ln(2))) AS idcg
+  FROM ideal GROUP BY qid
+),
+j AS (
+  SELECT a.qid, a.ap,
+         CASE WHEN i.idcg > 0 THEN d.dcg / i.idcg ELSE 0 END AS ndcg
+  FROM ap a JOIN dcg d USING (qid) JOIN idcg i USING (qid)
+)
+SELECT round(avg(ap), 4) AS mean_ap, round(min(ap), 4) AS min_ap,
+       round(max(ap), 4) AS max_ap,
+       round(avg(ndcg), 4) AS mean_ndcg, round(min(ndcg), 4) AS min_ndcg,
+       round(max(ndcg), 4) AS max_ndcg
+FROM j
+"""
+
+
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day windows per event_type (the batch analog of the
+    streaming windowed aggregation)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        # day as STRING: date/timestamp dtypes stringify differently
+        # across engines (datetime.date vs datetime64) and break the
+        # order-insensitive value hash even when values agree
+        ev.groupBy(
+            F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+SQL_EVENTS_TUMBLING = """
+SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(CAST(sum(value) AS DOUBLE), 4) AS sum_value,
+       round(CAST(avg(value) AS DOUBLE), 4) AS avg_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+        )
+    )
+
+
+SQL_ROLLUP_PRICING = """
+SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(l_extendedprice) AS DOUBLE), 4) AS sum_price
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+EVAL_QUERIES = {
+    "eval_metrics": q_eval_metrics,
+    "events_tumbling": q_events_tumbling,
+    "rollup_pricing": q_rollup_pricing,
+}
+
+EVAL_ORACLES = {
+    "eval_metrics": _sql_eval_metrics(),
+    "events_tumbling": SQL_EVENTS_TUMBLING,
+    "rollup_pricing": SQL_ROLLUP_PRICING,
+}

@@ -372,6 +372,7 @@ FROM events
 from .entry_textops import TEXTOPS_ORACLES, TEXTOPS_QUERIES  # noqa: E402
 from .entry_graph import GRAPH_ORACLES, GRAPH_QUERIES  # noqa: E402
 from .entry_batch import BATCH_ORACLES, BATCH_QUERIES_REG  # noqa: E402
+from .entry_eval import EVAL_ORACLES, EVAL_QUERIES  # noqa: E402
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "term_df": q_term_df,
@@ -389,6 +390,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **TEXTOPS_QUERIES,
     **GRAPH_QUERIES,
     **BATCH_QUERIES_REG,
+    **EVAL_QUERIES,
 }
 
 ORACLES: dict[str, str] = {
@@ -407,4 +409,5 @@ ORACLES: dict[str, str] = {
     **TEXTOPS_ORACLES,
     **GRAPH_ORACLES,
     **BATCH_ORACLES,
+    **EVAL_ORACLES,
 }
