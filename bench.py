@@ -69,8 +69,9 @@ def run_suite(parallelism: int, sf_dir: str) -> dict:
         timings[qname] = round(time.perf_counter() - t0, 4)
 
     # --- gradeable registry queries -----------------------------------
-    for name in ["term_df", "bm25_topk", "vsm_topk", "pricing_summary",
-                 "top_customers", "events_running"]:
+    for name in ["term_df", "bm25_topk", "vsm_topk", "wand_topk",
+                 "batch_bm25", "minhash_signatures", "cosine_topk",
+                 "pricing_summary", "top_customers", "events_running"]:
         fn = EQ.QUERIES[name]
         t0 = time.perf_counter()
         fn(spark, sf_dir).collect()

@@ -124,23 +124,28 @@ def build_index(
         docs_base = slim_corpus.withColumn("doc_int", F.col("doc_id").cast("long"))
     else:
         docs_base = assign_doc_ints(slim_corpus, "doc_id")
-    docs_base = docs_base.withColumn("length", doc_length_expr(F.col("content")))
-    # doc ids + lengths are reused by several downstream jobs; cache the
-    # slim projection, not the content
-    docs_slim = docs_base.select("doc_id", "doc_int", "length").cache()
+    # ONE regex pass over raw text, staged as token ARRAYS on disk: both
+    # consumers (doc lengths = pre-filter count T4, and the token stream
+    # for postings) read the staged arrays instead of re-running the
+    # normalizer — the regex normalize is the dominant CPU of the build
+    # and previously ran twice (once for lengths, once for postings).
+    from pyspark import StorageLevel
 
-    # ONE pass over raw text: tokenize (T2/T3) + stop-filter (T5/T6),
-    # unstemmed.  Stemming is deferred until AFTER the (token, doc)
-    # aggregation so the expensive regex+explode never runs twice — the
-    # naive "distinct tokens then join" plan re-tokenizes the whole
-    # corpus for the distinct.
-    tokens = analyze_tokens(
-        docs_base.select("doc_id", "doc_int", "content"),
-        text_col="content",
-        id_cols=["doc_id", "doc_int"],
-        use_stopwords=cfg.use_stopwords,
-        use_stemmer=False,
-    ).withColumnRenamed("term", "token")
+    from ..analysis.analyzer import stopword_filter_condition, tokens_array_expr
+
+    pre = docs_base.select(
+        "doc_id", "doc_int", tokens_array_expr(F.col("content")).alias("_arr")
+    ).persist(StorageLevel.DISK_ONLY)
+
+    docs_slim = pre.select(
+        "doc_id", "doc_int", F.size("_arr").alias("length")
+    ).cache()
+
+    tokens = pre.select(
+        "doc_id", "doc_int", F.posexplode("_arr").alias("pos", "token")
+    )
+    if cfg.use_stopwords:
+        tokens = tokens.filter(stopword_filter_condition(F.col("token")))
 
     # A1 level 1: tf per (token, doc) — Catalyst partial+final hash agg
     # (the map-side combine IS the salted pre-aggregation for the tf
@@ -184,15 +189,31 @@ def build_index(
         F.sum("tf").cast("long").alias("cf"),
     ).cache()
 
-    # A4: N + floored avgDL (integer division, Indexer.java:688-691)
-    stat_row = docs_slim.agg(
-        F.count("*").alias("n_docs"),
-        F.sum("length").alias("total_len"),
-    ).collect()[0]
-    n_docs = int(stat_row["n_docs"])
-    total_len = int(stat_row["total_len"] or 0)
+    # A4: N + floored avgDL (integer division, Indexer.java:688-691).
+    # The doc-stats branch and the postings/terms branch are INDEPENDENT
+    # once ``pre`` is staged, so their actions run as CONCURRENT Spark
+    # jobs — the scheduler interleaves their stages and fills cores that
+    # a strictly sequential barrier chain would leave idle (this matters
+    # on a real cluster exactly as it does on local[N]).
+    from concurrent.futures import ThreadPoolExecutor
+
+    pre.count()  # materialize the staged arrays once, before the fan-out
+
+    def _doc_stats():
+        r = docs_slim.agg(
+            F.count("*").alias("n_docs"), F.sum("length").alias("total_len")
+        ).collect()[0]
+        return int(r["n_docs"]), int(r["total_len"] or 0)
+
+    def _posting_stats():
+        return int(terms.agg(F.sum("df")).collect()[0][0] or 0)
+
+    with ThreadPoolExecutor(2) as pool:
+        f_docs = pool.submit(_doc_stats)
+        f_post = pool.submit(_posting_stats)
+        n_docs, total_len = f_docs.result()
+        n_postings = f_post.result()  # Σdf == posting rows; no extra pass
     avgdl = total_len // n_docs if n_docs else 0
-    n_postings = int(terms.agg(F.sum("df")).collect()[0][0] or 0)  # Σdf == posting rows; no extra pass
 
     # A5: VSM norms — second pass over postings, idf uses the reference's
     # Java-int floor division (N+1)/df (Index.java:371). Stored SQUARED,

@@ -39,9 +39,9 @@ def _process_batch_factory(out_dir: str, cfg: EngineConfig,
         toks = analyze_tokens(
             docs, "content", ["doc_id"],
             use_stopwords=cfg.use_stopwords, use_stemmer=cfg.use_stemmer,
-            # distinct+join is not stream-friendly inside foreachBatch-free
-            # plans, but HERE we have a plain batch DF, so it is fine; we
-            # still use the direct UDF to keep micro-batch latency low.
+            # micro-batches are small: the direct Arrow stem UDF beats the
+            # distinct+broadcast-join plan (which pays an extra shuffle
+            # that only amortizes on large batch sizes)
             stem_via_join=False,
         )
         postings = toks.groupBy("term", "doc_id").agg(F.count("*").cast("int").alias("tf"))
