@@ -179,7 +179,61 @@ def q_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("score", 4).alias("score"))
 
 
+# --- phrase (positional) search --------------------------------------------
+
+PHRASE = ("table", "hash")  # frequent adjacent bigram in the testdata
+PHRASE_K = 50
+
+_POS_INDEX_CACHE: dict[str, object] = {}
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .index.builder import build_index
+    from .query.phrase import phrase_search
+
+    if sf_dir not in _POS_INDEX_CACHE:
+        docs = EQ.load_documents(spark, sf_dir)
+        _POS_INDEX_CACHE[sf_dir] = build_index(
+            docs, EQ.NOSTEM_CFG, doc_col="doc_id", text_col="text",
+            with_positions=True,
+        )
+    ix = _POS_INDEX_CACHE[sf_dir]
+    out = phrase_search(ix, list(PHRASE), k=PHRASE_K)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      F.col("score").cast("long").alias("n_occurrences"))
+
+
+SQL_PHRASE_SEARCH = f"""
+WITH tokarr AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(regexp_replace(regexp_replace(text,
+             '[^\\p{{L}}\\p{{Nd}}]+', ' ', 'g'), '[0-9]', ' ', 'g'))), ' +'),
+             t -> t <> '') AS toks
+  FROM documents
+),
+tokpos AS (
+  SELECT doc_id, pos, tok
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(len(toks)),
+                      i -> {{'pos': i, 'tok': toks[i + 1]}}), recursive := true)
+        FROM tokarr)
+),
+plists AS (
+  SELECT doc_id, tok AS term, list(pos ORDER BY pos) AS ps
+  FROM tokpos GROUP BY doc_id, tok
+)
+SELECT CAST(a.doc_id AS BIGINT) AS doc_id,
+       CAST(len(list_intersect(list_transform(a.ps, x -> x + 1), b.ps)) AS BIGINT) AS n_occurrences
+FROM plists a JOIN plists b USING (doc_id)
+WHERE a.term = '{PHRASE[0]}' AND b.term = '{PHRASE[1]}'
+  AND len(list_intersect(list_transform(a.ps, x -> x + 1), b.ps)) > 0
+ORDER BY n_occurrences DESC, a.doc_id ASC
+LIMIT {PHRASE_K}
+"""
+
+
 BATCH_QUERIES_REG = {
+    "phrase_search": q_phrase_search,
     "batch_bm25": q_batch_bm25,
     "field_term_stats": q_field_term_stats,
     "expanded_vsm": q_expanded_bm25,
@@ -187,6 +241,7 @@ BATCH_QUERIES_REG = {
 }
 
 BATCH_ORACLES = {
+    "phrase_search": SQL_PHRASE_SEARCH,
     "batch_bm25": SQL_BATCH_BM25,
     "field_term_stats": SQL_FIELD_TERM_STATS,
     "expanded_vsm": SQL_EXPANDED_BM25,

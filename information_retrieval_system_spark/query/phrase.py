@@ -1,0 +1,66 @@
+"""Positional (phrase) search over the positions column.
+
+The compressed-index spec (BASELINE.json north_star) stores per-posting
+position lists ``term -> [docID, tf, positions]``; this operator is what
+justifies them: exact phrase match "t1 t2 ... tk" = docs where some
+position chain p, p+1, ..., p+k-1 hits each term in order.  Positions
+are PRE-FILTER token offsets (analyzer.tokenize), the classic positional
+-index convention, so stopword removal leaves gaps and phrases across a
+removed stopword do NOT match — intentional and documented.
+
+Plan shape: k self-joins of the postings table on doc (each pruned to
+one term — at scale each probe hits one term bucket), then a pure
+column-expression position-chain intersection:
+``cur = array_intersect(transform(cur, +1), positions_i)``.
+No Python, no explode of positions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..config import DEFAULT_CONFIG, EngineConfig
+from ..index.builder import IndexTables
+
+
+def phrase_search(
+    index: IndexTables,
+    phrase_terms: list[str],
+    k: int = 10,
+    count_as_score: bool = True,
+) -> DataFrame:
+    """-> (doc_id, score) where score = number of phrase occurrences.
+
+    ``phrase_terms`` must already be analyzed (same pipeline as the
+    index).  Duplicate-adjacent terms ("the the") are handled naturally
+    by the chain intersection.
+    """
+    if not phrase_terms:
+        spark = index.postings.sparkSession
+        return spark.createDataFrame([], "doc_id long, score long")
+    if "positions" not in index.postings.columns:
+        raise ValueError("index was built without positions (with_positions=False)")
+
+    base = (
+        index.postings.filter(F.col("term") == phrase_terms[0])
+        .select("doc_id", F.col("positions").alias("chain"))
+    )
+    for i, t in enumerate(phrase_terms[1:], start=1):
+        nxt = index.postings.filter(F.col("term") == t).select(
+            "doc_id", F.col("positions").alias(f"_p{i}")
+        )
+        base = (
+            base.join(nxt, "doc_id", "inner")
+            .withColumn(
+                "chain",
+                F.array_intersect(
+                    F.transform(F.col("chain"), lambda x: x + 1), F.col(f"_p{i}")
+                ),
+            )
+            .drop(f"_p{i}")
+            .filter(F.size("chain") > 0)
+        )
+    out = base.select(
+        "doc_id", F.size("chain").cast("long").alias("score")
+    )
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
