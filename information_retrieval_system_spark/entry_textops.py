@@ -31,6 +31,14 @@ SIMHASH_BITS = 16
 JACCARD_THRESHOLD = 0.5
 EMB_K = 15
 EMB_BITS = 4
+#: graded skew guards (mirrored literally in the SQL oracles): shingles in
+#: more than NGRAM_MAX_DF docs are dropped before pair generation; LSH
+#: band buckets larger than LSH_MAX_BUCKET are dropped before the
+#: bucket self-join
+NGRAM_MAX_DF = 100
+LSH_MAX_BUCKET = 200
+LSH_BANDS = 4
+LSH_ROWS_PER_BAND = MH_HASHES // LSH_BANDS
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -80,7 +88,8 @@ sh AS (
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = dedup.ngram_jaccard_pairs(
-        _docs(spark, sf_dir), "text", "doc_id", n=NGRAM_N, threshold=JACCARD_THRESHOLD
+        _docs(spark, sf_dir), "text", "doc_id", n=NGRAM_N,
+        threshold=JACCARD_THRESHOLD, max_shingle_df=NGRAM_MAX_DF,
     )
     return out.select(
         F.col("id_a").cast("long").alias("id_a"),
@@ -89,12 +98,22 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: shingles after the df cap (sizes stay on the full table `sh`)
+SHP_CTE = f"""
+shp AS (
+  SELECT sh.id, sh.shingle FROM sh
+  JOIN (SELECT shingle FROM sh GROUP BY shingle
+        HAVING count(*) <= {NGRAM_MAX_DF}) k USING (shingle)
+)
+"""
+
 SQL_NGRAM_JACCARD = f"""
 WITH {SHINGLE_CTE},
+{SHP_CTE},
 sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
 inter AS (
   SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
-  FROM sh a JOIN sh b USING (shingle)
+  FROM shp a JOIN shp b USING (shingle)
   WHERE a.id < b.id GROUP BY 1, 2
 )
 SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
@@ -114,18 +133,88 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
                        *[F.col(f"mh_{i}").cast("long").alias(f"mh_{i}") for i in range(MH_HASHES)])
 
 
-def _sql_minhash() -> str:
+def _sig_mins() -> str:
     params = minhash_params(MH_HASHES, seed=42)
     h = h60_sql("shingle")
-    mins = ",\n       ".join(
+    return ",\n       ".join(
         f"CAST(min({minhash_sql(h, a, b)}) AS BIGINT) AS mh_{i}"
         for i, (a, b) in enumerate(params)
     )
+
+
+def _sql_minhash() -> str:
     return f"""
 WITH {SHINGLE_CTE}
 SELECT CAST(id AS BIGINT) AS id,
-       {mins}
+       {_sig_mins()}
 FROM sh GROUP BY id
+"""
+
+
+# --- minhash+LSH full dedup pipeline ----------------------------------------
+
+def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pipeline graded end-to-end: signatures -> capped band buckets
+    -> candidate pairs -> candidate-restricted exact-Jaccard verify."""
+    out = dedup.minhash_lsh_dedup(
+        _docs(spark, sf_dir), "text", "doc_id",
+        n=NGRAM_N, num_hashes=MH_HASHES, bands=LSH_BANDS,
+        threshold=JACCARD_THRESHOLD, seed=42,
+        max_shingle_df=NGRAM_MAX_DF, max_bucket_size=LSH_MAX_BUCKET,
+    )
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.round("jaccard", 4).alias("jaccard"),
+    )
+
+
+def _sql_minhash_lsh_dedup() -> str:
+    """Oracle: same semantics, simpler shape (full-pair jaccard ∩
+    candidates) — equality with the Spark candidate-restricted plan is
+    exactly the point of the gate."""
+    band_rows = "\n  UNION ALL ".join(
+        "SELECT id, {b} AS band, concat_ws('_', {cols}) AS bkey FROM sig".format(
+            b=b,
+            cols=", ".join(
+                f"CAST(mh_{b * LSH_ROWS_PER_BAND + r} AS VARCHAR)"
+                for r in range(LSH_ROWS_PER_BAND)
+            ),
+        )
+        for b in range(LSH_BANDS)
+    )
+    return f"""
+WITH {SHINGLE_CTE},
+{SHP_CTE},
+sig AS (
+  SELECT id, {_sig_mins()}
+  FROM sh GROUP BY id
+),
+bandkeys AS (
+  {band_rows}
+),
+kept AS (
+  SELECT bk.id, bk.band, bk.bkey FROM bandkeys bk
+  JOIN (SELECT band, bkey FROM bandkeys GROUP BY band, bkey
+        HAVING count(*) <= {LSH_MAX_BUCKET}) ok USING (band, bkey)
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM kept a JOIN kept b ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
+),
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+  FROM shp a JOIN shp b USING (shingle)
+  WHERE a.id < b.id GROUP BY 1, 2
+)
+SELECT CAST(c.id_a AS BIGINT) AS id_a, CAST(c.id_b AS BIGINT) AS id_b,
+       round(i * 1.0 / (sa.sz + sb.sz - i), 4) AS jaccard
+FROM cand c
+JOIN inter ON inter.id_a = c.id_a AND inter.id_b = c.id_b
+JOIN sizes sa ON sa.id = c.id_a
+JOIN sizes sb ON sb.id = c.id_b
+WHERE i * 1.0 / (sa.sz + sb.sz - i) >= {JACCARD_THRESHOLD}
 """
 
 
@@ -230,21 +319,34 @@ EMB_NEAR_DUP_THRESHOLD = 0.3  # synthetic embeddings max within-label cosine ~0.
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = similarity.embedding_near_dup_pairs(_emb(spark, sf_dir),
-                                              threshold=EMB_NEAR_DUP_THRESHOLD)
+    """LSH-bucket blocking (the scale default) — NOT the semantic label
+    column, and no cross-join anywhere in the plan."""
+    out = similarity.embedding_near_dup_pairs(
+        _emb(spark, sf_dir), threshold=EMB_NEAR_DUP_THRESHOLD,
+        lsh_bits=EMB_BITS, dim=EMB_DIM,
+    )
     return out.select(F.col("id_a").cast("long").alias("id_a"),
                       F.col("id_b").cast("long").alias("id_b"),
                       F.round("cosine", 4).alias("cosine"))
 
 
-SQL_EMB_NEAR_DUP = """
-WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b,
-       round(list_dot_product(a.v, b.v)
-             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cosine
-FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE list_dot_product(a.v, b.v)
-      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3
+def _sql_emb_near_dup() -> str:
+    """Same literal hyperplanes as the Spark side; pairs within one
+    LSH bucket above the cosine threshold."""
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {_lit_list(p)}) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(_PLANES)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT vec_id, v, {bucket_terms} AS bucket FROM e)
+SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(bb.vec_id AS BIGINT) AS id_b,
+       round(list_dot_product(a.v, bb.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(bb.v, bb.v))), 4) AS cosine
+FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+WHERE list_dot_product(a.v, bb.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(bb.v, bb.v)))
+      >= {EMB_NEAR_DUP_THRESHOLD}
 """
 
 
@@ -369,6 +471,7 @@ TEXTOPS_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_signatures": q_minhash_signatures,
+    "minhash_lsh_dedup": q_minhash_lsh_dedup,
     "simhash": q_simhash,
     "cosine_topk": q_cosine_topk,
     "lsh_topk": q_lsh_topk,
@@ -384,10 +487,11 @@ TEXTOPS_ORACLES = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "minhash_signatures": _sql_minhash(),
+    "minhash_lsh_dedup": _sql_minhash_lsh_dedup(),
     "simhash": _sql_simhash(),
     "cosine_topk": SQL_COSINE_TOPK,
     "lsh_topk": _sql_lsh_topk(),
-    "embedding_near_dup": SQL_EMB_NEAR_DUP,
+    "embedding_near_dup": _sql_emb_near_dup(),
     "language_id": _sql_language_id(),
     "token_counts": SQL_TOKEN_COUNTS,
     "quality_score": _sql_quality_score(),

@@ -30,10 +30,16 @@ def ranked_with_relevance(results: DataFrame, qrels: DataFrame) -> DataFrame:
 def average_precision(ranked: DataFrame, qrels: DataFrame) -> DataFrame:
     """-> (qid, ap double).  AP = mean over relevant *retrieved* positions
     of precision@rank, divided by the TOTAL number of relevant docs in
-    qrels for the query (standard TREC AP)."""
+    qrels for the query (standard TREC AP).
+
+    Relevance is BINARIZED here (rel > 0 -> 1): TREC AP is a binary
+    metric, and feeding graded judgments (which the nDCG path supports)
+    through the cumulative-precision window would silently weight by the
+    grades."""
     w = Window.partitionBy("qid").orderBy("rank")
-    cum_rel = F.sum("rel").over(w)
-    prec_at_rel = (cum_rel / F.col("rank")) * F.col("rel")
+    bin_rel = (F.col("rel") > 0).cast("int")
+    cum_rel = F.sum(bin_rel).over(w)
+    prec_at_rel = (cum_rel / F.col("rank")) * bin_rel
     per_q = ranked.withColumn("p", prec_at_rel).groupBy("qid").agg(
         F.sum("p").alias("sum_p")
     )

@@ -7,8 +7,9 @@ postings partition is written independently and recorded in
 ``manifest.json`` with row counts, wall time and postings/sec.  A
 restarted build:
 
-1. validates the input fingerprint (doc count + xxhash64 aggregate of doc
-   ids) against the manifest — a changed corpus invalidates everything;
+1. validates the input fingerprint (doc count + xxhash64 aggregate over
+   (doc_id, content) pairs) against the manifest — a changed corpus,
+   including same-id re-crawls with edited texts, invalidates everything;
 2. skips stages/buckets already marked done;
 3. re-runs only missing buckets — deterministic doc_int assignment
    (row_number over doc key) guarantees the re-run produces byte-identical
@@ -51,11 +52,18 @@ def _save_manifest(out_dir: str, m: dict) -> None:
     os.replace(tmp, _manifest_path(out_dir))
 
 
-def corpus_fingerprint(corpus: DataFrame, doc_col: str) -> dict:
+def corpus_fingerprint(corpus: DataFrame, doc_col: str, text_col: str | None = None) -> dict:
+    """Order-insensitive corpus fingerprint: doc count + xor-fold of
+    xxhash64 over (doc_id, content).  Folding the CONTENT in matters: a
+    re-crawl that keeps ids but edits texts must invalidate the manifest,
+    or resume would mix old-content and new-content buckets."""
+    cols = [F.col(doc_col).cast("string")]
+    if text_col is not None:
+        cols.append(F.col(text_col).cast("string"))
     row = corpus.agg(
         F.count("*").alias("n"),
         # xor-fold (order-insensitive, overflow-free under ANSI mode)
-        F.bit_xor(F.xxhash64(F.col(doc_col).cast("string"))).alias("h"),
+        F.bit_xor(F.xxhash64(*cols)).alias("h"),
     ).collect()[0]
     return {"n": int(row["n"]), "h": int(row["h"] or 0)}
 
@@ -82,7 +90,7 @@ class ResumableIndexBuild:
     def run(self) -> dict:
         os.makedirs(self.out_dir, exist_ok=True)
         m = _load_manifest(self.out_dir)
-        fp = corpus_fingerprint(self.corpus, self.doc_col)
+        fp = corpus_fingerprint(self.corpus, self.doc_col, self.text_col)
         if m["fingerprint"] is not None and m["fingerprint"] != fp:
             # corpus changed -> previous checkpoints are invalid
             shutil.rmtree(self.out_dir)

@@ -98,10 +98,13 @@ def _kernel_factory(term_stats: dict[str, tuple[float, float]], k: int,
         if idx.size == 0:
             return empty
         sc = scores[idx]
-        # local top-k of this range
+        # local top-k of this range under the GLOBAL total order
+        # (score DESC, doc_int ASC): argpartition alone keeps an arbitrary
+        # subset among docs tied at the k-th score, which can drop the
+        # smaller-doc_int doc the global merge would have kept
         if idx.size > k:
-            part = np.argpartition(-sc, k - 1)[:k]
-            idx, sc = idx[part], sc[part]
+            order = np.lexsort((idx, -sc))[:k]
+            idx, sc = idx[order], sc[order]
         # update worker-shared threshold heap
         for v in sc:
             if len(heap) < k:

@@ -21,10 +21,26 @@ Each has an exact DuckDB oracle in entry_queries (same md5-based h60).
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 from ..analysis.analyzer import tokens_array_expr
 from .hashing import MINHASH_P, h60, minhash_expr, minhash_params
+
+log = logging.getLogger(__name__)
+
+#: default skew guard: shingles shared by more docs than this are dropped
+#: before PAIR GENERATION (sizes stay exact).  At web scale this is the
+#: license-header / boilerplate killer — a shingle in 10k+ docs would fan
+#: the self-join quadratically while carrying no near-dup signal.
+DEFAULT_MAX_SHINGLE_DF = 10_000
+
+#: default LSH band-bucket cap: a degenerate bucket of B ids produces
+#: B*(B-1)/2 candidate pairs; beyond this size the bucket is dropped
+#: (its members are byte-level near-identical and are better handled by
+#: exact dedup upstream).
+DEFAULT_MAX_BUCKET_SIZE = 1_000
 
 
 def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -57,37 +73,29 @@ def shingle_table(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFram
     )
 
 
-def ngram_jaccard_pairs(
-    df: DataFrame,
-    text_col: str,
-    id_col: str,
-    n: int = 3,
-    threshold: float = 0.8,
-    max_shingle_df: int | None = None,
-) -> DataFrame:
-    """-> (id_a, id_b, jaccard) for pairs above threshold (id_a < id_b).
-
-    Count-based: sizes per doc, intersections from a self-join of the
-    shingle table on shingle.  ``max_shingle_df`` drops shingles shared
-    by more than that many docs before pair generation (skew guard)."""
-    sh = shingle_table(df, text_col, id_col, n)
-    if max_shingle_df is not None:
-        keep = sh.groupBy("shingle").agg(F.count("*").alias("sdf")).filter(
-            F.col("sdf") <= max_shingle_df
-        )
-        sh_p = sh.join(keep.select("shingle"), "shingle", "leftsemi")
-    else:
-        sh_p = sh
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    a = sh_p.select(F.col("id").alias("id_a"), "shingle")
-    b = sh_p.select(F.col("id").alias("id_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
+def _capped_shingles(sh: DataFrame, max_shingle_df: int | None) -> DataFrame:
+    """Drop shingles whose document frequency exceeds the cap (skew
+    guard before any pair-generating self-join)."""
+    if max_shingle_df is None:
+        return sh
+    keep = sh.groupBy("shingle").agg(F.count("*").alias("sdf")).filter(
+        F.col("sdf") <= max_shingle_df
     )
-    out = (
+    return sh.join(keep.select("shingle"), "shingle", "leftsemi")
+
+
+def dropped_shingles(sh: DataFrame, max_shingle_df: int) -> DataFrame:
+    """-> (shingle, sdf) of shingles the df cap removes — the
+    observability side of the skew guard (log `.count()` of this when
+    auditing a run; it is not computed on the hot path)."""
+    return (
+        sh.groupBy("shingle").agg(F.count("*").alias("sdf"))
+        .filter(F.col("sdf") > max_shingle_df)
+    )
+
+
+def _jaccard_from_inter(inter: DataFrame, sizes: DataFrame, threshold: float) -> DataFrame:
+    return (
         inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
         .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
         .withColumn(
@@ -97,7 +105,63 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return out
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+) -> DataFrame:
+    """-> (id_a, id_b, jaccard) for pairs above threshold (id_a < id_b).
+
+    Count-based: sizes per doc, intersections from a self-join of the
+    shingle table on shingle.  ``max_shingle_df`` (ON by default) drops
+    shingles shared by more than that many docs before pair generation —
+    without it one boilerplate shingle makes the self-join quadratic in
+    corpus size.  Sizes are computed on the UNCAPPED sets, so the
+    reported jaccard is a (deterministic) lower bound when the cap binds;
+    pass None to disable.  Use :func:`dropped_shingles` to audit what a
+    given cap removes."""
+    sh = shingle_table(df, text_col, id_col, n)
+    sh_p = _capped_shingles(sh, max_shingle_df)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a = sh_p.select(F.col("id").alias("id_a"), "shingle")
+    b = sh_p.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return _jaccard_from_inter(inter, sizes, threshold)
+
+
+def jaccard_for_candidate_pairs(
+    cand: DataFrame,
+    sh: DataFrame,
+    threshold: float,
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+) -> DataFrame:
+    """Exact Jaccard restricted to candidate pairs (id_a, id_b) — NEVER a
+    corpus-wide shingle self-join.  Cost is linear in
+    Σ_candidates |shingles(id_a)|: fan each pair out by id_a's shingles,
+    keep those also present for id_b via an equi-join on (id_b, shingle).
+    This is the verify stage LSH exists to enable."""
+    sh_p = _capped_shingles(sh, max_shingle_df)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a = sh_p.select(F.col("id").alias("id_a"), "shingle")
+    b = sh_p.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        cand.select("id_a", "id_b")
+        .join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return _jaccard_from_inter(inter, sizes, threshold)
 
 
 def minhash_signatures(
@@ -122,17 +186,25 @@ def lsh_candidate_pairs(
     signatures: DataFrame,
     bands: int = 4,
     rows_per_band: int = 4,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """-> (id_a, id_b, n_bands): pairs sharing >=1 LSH band.
 
     band key = concat of the band's signature components; self-join per
-    band bucket, deduped across bands with a count of matching bands."""
+    band bucket, deduped across bands with a count of matching bands.
+    ``max_bucket_size`` (ON by default) drops band buckets with more
+    members than the cap before the self-join — a degenerate bucket of B
+    near-identical docs would otherwise emit B²/2 pairs.  Dropped-bucket
+    members are exact-dedup territory, not LSH's job; audit with
+    :func:`oversized_buckets`."""
     pair_frames = []
     for b in range(bands):
-        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        banded = signatures.select(
-            F.col("id"), F.concat_ws("_", *[c.cast("string") for c in cols]).alias("bkey")
-        )
+        banded = signatures.select(F.col("id"), _band_key(b, rows_per_band))
+        if max_bucket_size is not None:
+            ok = banded.groupBy("bkey").agg(F.count("*").alias("bsz")).filter(
+                F.col("bsz") <= max_bucket_size
+            )
+            banded = banded.join(ok.select("bkey"), "bkey", "leftsemi")
         l = banded.select(F.col("id").alias("id_a"), "bkey")
         r = banded.select(F.col("id").alias("id_b"), "bkey")
         pair_frames.append(
@@ -144,6 +216,29 @@ def lsh_candidate_pairs(
     return allp.groupBy("id_a", "id_b").agg(F.count("*").alias("n_bands"))
 
 
+def _band_key(band: int, rows_per_band: int) -> Column:
+    cols = [F.col(f"mh_{band * rows_per_band + r}") for r in range(rows_per_band)]
+    return F.concat_ws("_", *[c.cast("string") for c in cols]).alias("bkey")
+
+
+def oversized_buckets(
+    signatures: DataFrame, bands: int, rows_per_band: int, max_bucket_size: int
+) -> DataFrame:
+    """-> (band, bkey, bsz) of band buckets the cap drops (observability)."""
+    frames = []
+    for b in range(bands):
+        frames.append(
+            signatures.select(F.lit(b).alias("band"), _band_key(b, rows_per_band))
+            .groupBy("band", "bkey")
+            .agg(F.count("*").alias("bsz"))
+            .filter(F.col("bsz") > max_bucket_size)
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
 def minhash_lsh_dedup(
     df: DataFrame,
     text_col: str,
@@ -153,19 +248,39 @@ def minhash_lsh_dedup(
     bands: int = 4,
     threshold: float = 0.7,
     seed: int = 42,
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    log_drops: bool = False,
 ) -> DataFrame:
-    """Full pipeline: signatures -> band candidates -> exact-Jaccard
-    verify -> (id_a, id_b, jaccard >= threshold)."""
+    """Full pipeline: signatures -> band candidates (bucket-capped) ->
+    exact-Jaccard verify RESTRICTED TO THE CANDIDATES ->
+    (id_a, id_b, jaccard >= threshold).
+
+    The verify stage never self-joins the shingle table corpus-wide
+    (that would be the all-pairs explosion LSH exists to avoid); it fans
+    only the LSH candidate pairs out by their shingles
+    (:func:`jaccard_for_candidate_pairs`).  ``log_drops`` runs the two
+    observability queries (extra jobs — off on the hot path)."""
     rows_per_band = num_hashes // bands
+    sh = shingle_table(df, text_col, id_col, n)
     sigs = minhash_signatures(df, text_col, id_col, n, num_hashes, seed)
-    cand = lsh_candidate_pairs(sigs, bands, rows_per_band)
-    verified = ngram_jaccard_pairs(df, text_col, id_col, n, threshold)
-    return cand.join(verified, ["id_a", "id_b"], "inner").select("id_a", "id_b", "jaccard")
+    cand = lsh_candidate_pairs(sigs, bands, rows_per_band, max_bucket_size)
+    if log_drops:
+        if max_shingle_df is not None:
+            nd = dropped_shingles(sh, max_shingle_df).count()
+            log.info("minhash_lsh_dedup: df cap %d dropped %d shingles", max_shingle_df, nd)
+        if max_bucket_size is not None:
+            nb = oversized_buckets(sigs, bands, rows_per_band, max_bucket_size).count()
+            log.info("minhash_lsh_dedup: bucket cap %d dropped %d buckets", max_bucket_size, nb)
+    return jaccard_for_candidate_pairs(cand, sh, threshold, max_shingle_df)
 
 
-def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 60) -> DataFrame:
     """-> (id, simhash): sign of per-bit tf-weighted sums of token h60
-    hashes (h60 gives 60 usable bits; ``bits`` <= 60)."""
+    hashes.  h60 provides exactly 60 usable bits — bits above 59 would be
+    constant-sign noise (and 1<<63 overflows LongType), hence the cap."""
+    if not 1 <= bits <= 60:
+        raise ValueError(f"simhash bits must be in [1, 60] (h60 hash), got {bits}")
     toks = (
         df.select(F.col(id_col).alias("id"), F.explode(tokens_array_expr(F.col(text_col))).alias("tok"))
         .groupBy("id", "tok")

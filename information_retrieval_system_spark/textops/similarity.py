@@ -105,17 +105,33 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    block_col: str | None = "label",
+    block_col: str | None = None,
+    lsh_bits: int = 4,
+    lsh_seed: int = 7919,
+    dim: int | None = None,
 ) -> DataFrame:
-    """-> (id_a, id_b, cosine >= threshold), blocked by ``block_col`` to
-    bound the pair join (at scale: LSH bucket as the blocking key)."""
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
-                   *( [F.col(block_col).alias("_blk")] if block_col else [] ))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
-                   *( [F.col(block_col).alias("_blk")] if block_col else [] ))
-    joined = a.join(b, "_blk") if block_col else a.crossJoin(b)
+    """-> (id_a, id_b, cosine >= threshold) within a blocking key.
+
+    Default blocking is the random-hyperplane LSH BUCKET of the vector
+    itself (``block_col=None``) — the scale-correct choice: bucket
+    population is data-independent (~N/2^bits), whereas a semantic
+    column like ``label`` can put the whole corpus in one block.  Pairs
+    straddling buckets are missed (standard single-probe LSH recall
+    trade-off; raise recall with fewer bits or a multi-probe union).
+    Pass an explicit ``block_col`` to block on a column instead.  There
+    is deliberately NO cross-join fallback."""
+    if block_col is not None:
+        blk_a = blk_b = F.col(block_col).alias("_blk")
+    else:
+        if dim is None:
+            dim = emb.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+        planes = hyperplanes(dim, lsh_bits, lsh_seed)
+        blk_a = blk_b = lsh_bucket_expr(F.col(vec_col), planes).alias("_blk")
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), blk_a)
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), blk_b)
     return (
-        joined.filter(F.col("id_a") < F.col("id_b"))
+        a.join(b, "_blk")
+        .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cosine", cosine_expr(F.col("va").cast("array<double>"),
                                           F.col("vb").cast("array<double>")))
         .filter(F.col("cosine") >= threshold)

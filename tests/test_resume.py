@@ -55,3 +55,17 @@ def test_fingerprint_invalidation(spark, sf_small, tmp_path):
     ix = read_checkpointed(spark, d)
     assert ix.stats["n_docs"] == docs2.count()
     assert sorted(m["buckets_done"]) == list(range(4))
+
+
+def test_fingerprint_detects_content_change(spark):
+    """Same ids, edited text -> different fingerprint (re-crawl safety)."""
+    from information_retrieval_system_spark.index.checkpoint import corpus_fingerprint
+
+    a = spark.createDataFrame([(1, "alpha"), (2, "beta")], "doc_id long, text string")
+    b = spark.createDataFrame([(1, "alpha"), (2, "BETA-EDITED")], "doc_id long, text string")
+    fa = corpus_fingerprint(a, "doc_id", "text")
+    fb = corpus_fingerprint(b, "doc_id", "text")
+    assert fa["n"] == fb["n"] and fa["h"] != fb["h"]
+    # order-insensitive: same rows, different order -> same fingerprint
+    c = spark.createDataFrame([(2, "beta"), (1, "alpha")], "doc_id long, text string")
+    assert corpus_fingerprint(c, "doc_id", "text") == fa

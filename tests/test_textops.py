@@ -47,6 +47,51 @@ def test_minhash_lsh_pipeline(toy_docs):
     assert (1, 4) not in out
 
 
+def test_lsh_bucket_cap_drops_degenerate_bucket(toy_docs):
+    sigs = dedup.minhash_signatures(toy_docs, "text", "doc_id", n=3, num_hashes=16)
+    capped = dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4, max_bucket_size=1)
+    # every bucket with >1 member (i.e. every pair-producing bucket) is dropped
+    assert capped.count() == 0
+    uncapped = dedup.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4, max_bucket_size=None)
+    assert uncapped.count() > 0
+    over = dedup.oversized_buckets(sigs, bands=4, rows_per_band=4, max_bucket_size=1)
+    assert over.count() > 0
+
+
+def test_jaccard_for_candidate_pairs_matches_full(toy_docs, spark):
+    """Candidate-restricted Jaccard == full-pair Jaccard on the candidates."""
+    full = {(r.id_a, r.id_b): r.jaccard for r in dedup.ngram_jaccard_pairs(
+        toy_docs, "text", "doc_id", n=3, threshold=0.0).collect()}
+    cand = spark.createDataFrame([(1, 2), (1, 3), (1, 4)], "id_a long, id_b long")
+    sh = dedup.shingle_table(toy_docs, "text", "doc_id", 3)
+    got = {(r.id_a, r.id_b): r.jaccard for r in dedup.jaccard_for_candidate_pairs(
+        cand, sh, threshold=0.0).collect()}
+    assert set(got) <= {(1, 2), (1, 3), (1, 4)}
+    for pair, j in got.items():
+        assert abs(j - full[pair]) < 1e-12
+
+
+def test_shingle_df_cap_and_drop_audit(toy_docs):
+    sh = dedup.shingle_table(toy_docs, "text", "doc_id", 3)
+    # docs 1,2,3,6 share most shingles -> df cap 3 drops the ones in all four
+    dropped = dedup.dropped_shingles(sh, max_shingle_df=3)
+    assert dropped.count() > 0
+    capped = {(r.id_a, r.id_b): r.jaccard for r in dedup.ngram_jaccard_pairs(
+        toy_docs, "text", "doc_id", n=3, threshold=0.0, max_shingle_df=3).collect()}
+    full = {(r.id_a, r.id_b): r.jaccard for r in dedup.ngram_jaccard_pairs(
+        toy_docs, "text", "doc_id", n=3, threshold=0.0, max_shingle_df=None).collect()}
+    # capped intersections are lower bounds of the true jaccard
+    for pair, j in capped.items():
+        assert j <= full[pair] + 1e-12
+
+
+def test_simhash_bits_bounds(toy_docs):
+    with pytest.raises(ValueError):
+        dedup.simhash(toy_docs, "text", "doc_id", bits=61)
+    # default (60) must not overflow LongType
+    assert dedup.simhash(toy_docs, "text", "doc_id").count() == 6
+
+
 def test_simhash_identical_token_streams_collide(toy_docs):
     sh = {r.id: r.simhash for r in dedup.simhash(toy_docs, "text", "doc_id", bits=32).collect()}
     assert sh[1] == sh[2] == sh[6]
@@ -74,6 +119,18 @@ def test_cosine_topk_exact_vs_lsh(spark):
     assert exact[0] == 7  # self is nearest
     approx = [r.vec_id for r in similarity.lsh_cosine_topk(emb, q, k=5, bits=2).collect()]
     assert approx[0] == 7  # query's own bucket contains itself
+
+
+def test_embedding_near_dup_lsh_blocked_no_crossjoin(spark):
+    import math
+    rows = [(i, [math.sin(i * 13 + j) for j in range(8)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.embedding_near_dup_pairs(emb, threshold=0.99, lsh_bits=2, dim=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # blocked pairs are a subset of the label-free exact pairs and respect id_a < id_b
+    for r in out.collect():
+        assert r.id_a < r.id_b and r.cosine >= 0.99
 
 
 def test_quality_and_language(spark):
