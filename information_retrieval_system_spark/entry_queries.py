@@ -373,6 +373,7 @@ from .entry_textops import TEXTOPS_ORACLES, TEXTOPS_QUERIES  # noqa: E402
 from .entry_graph import GRAPH_ORACLES, GRAPH_QUERIES  # noqa: E402
 from .entry_batch import BATCH_ORACLES, BATCH_QUERIES_REG  # noqa: E402
 from .entry_eval import EVAL_ORACLES, EVAL_QUERIES  # noqa: E402
+from .entry_s2 import S2_ORACLES, S2_QUERIES  # noqa: E402
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "term_df": q_term_df,
@@ -391,6 +392,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **GRAPH_QUERIES,
     **BATCH_QUERIES_REG,
     **EVAL_QUERIES,
+    **S2_QUERIES,
 }
 
 ORACLES: dict[str, str] = {
@@ -410,4 +412,5 @@ ORACLES: dict[str, str] = {
     **GRAPH_ORACLES,
     **BATCH_ORACLES,
     **EVAL_ORACLES,
+    **S2_ORACLES,
 }
