@@ -156,6 +156,99 @@ LIMIT {EQ.TOPK}
 """
 
 
+# --- derived GloVe-style expansion dictionary (R7) --------------------------
+
+#: DuckDB mirror of expansion.derive_term_neighbors: distributional
+#: cosine over tf-profiles, top-1 per term, tie-break (sim DESC, term ASC)
+NEIGHBORS_CTE = f"""
+post AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+nrm AS (SELECT term, sqrt(sum(CAST(tf AS DOUBLE) * tf)) AS nrm FROM post GROUP BY term),
+dots AS (
+  SELECT a.term AS term_a, b.term AS term_b,
+         sum(CAST(a.tf AS DOUBLE) * b.tf) AS dot
+  FROM post a JOIN post b USING (doc_id)
+  WHERE a.term <> b.term GROUP BY 1, 2
+),
+sims AS (
+  SELECT term_a, term_b, dot / (na.nrm * nb.nrm) AS sim
+  FROM dots JOIN nrm na ON na.term = term_a JOIN nrm nb ON nb.term = term_b
+),
+nbr AS (
+  SELECT term_a AS term, term_b AS expansion, sim,
+         row_number() OVER (PARTITION BY term_a ORDER BY sim DESC, term_b ASC) AS rn
+  FROM sims
+)
+"""
+
+
+def q_term_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The derived dictionary itself, graded: top-1 distributional
+    neighbor per vocabulary term."""
+    from .query.expansion import derive_term_neighbors
+
+    ix = EQ.get_index(spark, sf_dir)
+    out = derive_term_neighbors(ix.postings, k=1)
+    return out.select("term", "expansion", F.round("sim", 4).alias("sim"))
+
+
+SQL_TERM_NEIGHBORS = f"""
+WITH {EQ.TOKS_CTE},
+{NEIGHBORS_CTE}
+SELECT term, expansion, round(sim, 4) AS sim FROM nbr WHERE rn <= 1
+"""
+
+
+def q_glove_vsm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R7 end-to-end with the DERIVED dictionary: each query term's
+    nearest distributional neighbor joins the query at weight 1.0
+    (GloveSynonyms1 semantics, DWeight=false), then VSM top-k."""
+    from .query.expansion import derive_term_neighbors
+
+    ix = EQ.get_index(spark, sf_dir)
+    exp = derive_term_neighbors(ix.postings, k=1).select("term", "expansion", "weight")
+    qt = expand_query_terms(EQ.query_terms_df(spark), exp, expansion_weight=1.0)
+    res = scoring.vsm_search(ix, qt, k=EQ.TOPK, cfg=EQ.NOSTEM_CFG)
+    return res.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      F.round("score", 4).alias("score"))
+
+
+SQL_GLOVE_VSM = f"""
+WITH {EQ.TOKS_CTE},
+{NEIGHBORS_CTE},
+dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM post GROUP BY 1),
+stats AS (SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n),
+norms AS (
+  SELECT p.doc_id,
+         sum(pow(p.tf * ln(floor((s.n + 1) / f.df)) / ln(2), 2)) AS norm2
+  FROM post p JOIN dft f USING (term) CROSS JOIN stats s
+  GROUP BY p.doc_id
+),
+base AS (SELECT unnest({EQ._sql_terms_list()}) AS term, 1.0 AS qtf),
+extra AS (SELECT nb.expansion AS term, b.qtf * 1.0 * 1.0 AS qtf
+          FROM base b JOIN nbr nb ON nb.term = b.term AND nb.rn <= 1),
+qterms AS (
+  SELECT term, sum(qtf) AS qtf FROM (
+    SELECT term, qtf FROM base UNION ALL SELECT term, qtf FROM extra)
+  GROUP BY term
+),
+qw AS (SELECT q.term, q.qtf * ln(s.n / f.df) / ln(2) AS w_q
+       FROM qterms q JOIN dft f USING (term) CROSS JOIN stats s),
+qnorm AS (SELECT sum(w_q * w_q) AS q_norm2 FROM qw),
+dots2 AS (
+  SELECT p.doc_id, sum(p.tf * (ln(s.n / f.df) / ln(2)) * w.w_q) AS dot
+  FROM post p JOIN qw w USING (term) JOIN dft f USING (term) CROSS JOIN stats s
+  GROUP BY p.doc_id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       round(CASE WHEN n.norm2 > 0 AND qn.q_norm2 > 0
+                  THEN d.dot / sqrt(n.norm2 * qn.q_norm2) ELSE 0 END, 4) AS score
+FROM dots2 d JOIN norms n USING (doc_id) CROSS JOIN qnorm qn
+ORDER BY (CASE WHEN n.norm2 > 0 AND qn.q_norm2 > 0
+               THEN d.dot / sqrt(n.norm2 * qn.q_norm2) ELSE 0 END) DESC, d.doc_id ASC
+LIMIT {EQ.TOPK}
+"""
+
+
 _BLOCK_CACHE: dict[str, tuple] = {}
 
 
@@ -237,6 +330,8 @@ BATCH_QUERIES_REG = {
     "batch_bm25": q_batch_bm25,
     "field_term_stats": q_field_term_stats,
     "expanded_vsm": q_expanded_bm25,
+    "term_neighbors": q_term_neighbors,
+    "glove_vsm_topk": q_glove_vsm_topk,
     "wand_topk": q_wand_topk,
 }
 
@@ -245,5 +340,7 @@ BATCH_ORACLES = {
     "batch_bm25": SQL_BATCH_BM25,
     "field_term_stats": SQL_FIELD_TERM_STATS,
     "expanded_vsm": SQL_EXPANDED_BM25,
+    "term_neighbors": SQL_TERM_NEIGHBORS,
+    "glove_vsm_topk": SQL_GLOVE_VSM,
     "wand_topk": EQ.SQL_BM25_TOPK,
 }

@@ -374,6 +374,7 @@ from .entry_graph import GRAPH_ORACLES, GRAPH_QUERIES  # noqa: E402
 from .entry_batch import BATCH_ORACLES, BATCH_QUERIES_REG  # noqa: E402
 from .entry_eval import EVAL_ORACLES, EVAL_QUERIES  # noqa: E402
 from .entry_s2 import S2_ORACLES, S2_QUERIES  # noqa: E402
+from .entry_serving import SERVING_ORACLES, SERVING_QUERIES  # noqa: E402
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "term_df": q_term_df,
@@ -393,6 +394,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **BATCH_QUERIES_REG,
     **EVAL_QUERIES,
     **S2_QUERIES,
+    **SERVING_QUERIES,
 }
 
 ORACLES: dict[str, str] = {
@@ -413,4 +415,5 @@ ORACLES: dict[str, str] = {
     **BATCH_ORACLES,
     **EVAL_ORACLES,
     **S2_ORACLES,
+    **SERVING_ORACLES,
 }

@@ -105,12 +105,19 @@ def build_index(
     doc_col: str = "doc_id",
     text_col: str = "content",
     with_positions: bool = True,
+    meta_cols: list[str] | None = None,
 ) -> IndexTables:
     """corpus(doc_col, text_col, ...) -> IndexTables.
 
     All heavy lifting is shuffle-based aggregation; the only Python is the
     Porter stem over the distinct-token table (analyzer.py).
-    """
+
+    ``meta_cols`` names corpus columns carried into ``docs`` for the FULL
+    result projection (J5 — the reference's documents.idx stores
+    title/authors/year/journal alongside the scoring fields,
+    DocInfoFull.java:34-94; here any metadata column rides along the same
+    way).  They are joined in at the end from a slim projection, so the
+    tokenize/stage path never carries them."""
     spark = corpus.sparkSession
 
     slim_corpus = corpus.select(F.col(doc_col).alias("doc_id"), F.col(text_col).alias("content"))
@@ -190,29 +197,18 @@ def build_index(
     ).cache()
 
     # A4: N + floored avgDL (integer division, Indexer.java:688-691).
-    # The doc-stats branch and the postings/terms branch are INDEPENDENT
-    # once ``pre`` is staged, so their actions run as CONCURRENT Spark
-    # jobs — the scheduler interleaves their stages and fills cores that
-    # a strictly sequential barrier chain would leave idle (this matters
-    # on a real cluster exactly as it does on local[N]).
-    from concurrent.futures import ThreadPoolExecutor
-
-    pre.count()  # materialize the staged arrays once, before the fan-out
-
-    def _doc_stats():
-        r = docs_slim.agg(
-            F.count("*").alias("n_docs"), F.sum("length").alias("total_len")
-        ).collect()[0]
-        return int(r["n_docs"]), int(r["total_len"] or 0)
-
-    def _posting_stats():
-        return int(terms.agg(F.sum("df")).collect()[0][0] or 0)
-
-    with ThreadPoolExecutor(2) as pool:
-        f_docs = pool.submit(_doc_stats)
-        f_post = pool.submit(_posting_stats)
-        n_docs, total_len = f_docs.result()
-        n_postings = f_post.result()  # Σdf == posting rows; no extra pass
+    # The doc-stats aggregate is the FIRST action: scanning it both
+    # materializes the staged ``pre`` arrays (persist fills on first
+    # read) and fills the docs_slim cache, so no separate
+    # ``pre.count()`` barrier is needed — one fewer full pass over the
+    # corpus per build, which is pure serial time at any cluster size.
+    r = docs_slim.agg(
+        F.count("*").alias("n_docs"), F.sum("length").alias("total_len")
+    ).collect()[0]
+    n_docs, total_len = int(r["n_docs"]), int(r["total_len"] or 0)
+    # Σdf == posting rows (merge-time df1+df2 of Indexer.java:842 is one
+    # partial+final agg); reads the already-staged arrays
+    n_postings = int(terms.agg(F.sum("df")).collect()[0][0] or 0)
     avgdl = total_len // n_docs if n_docs else 0
 
     # A5: VSM norms — second pass over postings, idf uses the reference's
@@ -233,7 +229,11 @@ def build_index(
         docs_slim.join(norm_df, "doc_id", "left")
         .withColumn("norm", F.coalesce(F.col("norm"), F.lit(0.0)))
         .withColumn("pagerank", F.lit(0.0))
-    ).cache()
+    )
+    if meta_cols:
+        meta = corpus.select(F.col(doc_col).alias("doc_id"), *meta_cols)
+        docs = docs.join(meta, "doc_id", "left")
+    docs = docs.cache()
 
     stats = {
         "n_docs": n_docs,

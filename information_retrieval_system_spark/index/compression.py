@@ -106,60 +106,79 @@ BLOCK_SCHEMA = (
 DL_BLOCK_SCHEMA = "block_id long, n int, docs_vb binary, dls_vb binary"
 
 
-def _encode_term_block(pdf: pd.DataFrame) -> pd.DataFrame:
-    pdf = pdf.sort_values("doc_int")
-    docs = pdf["doc_int"].to_numpy(dtype=np.uint64)
-    tfs = pdf["tf"].to_numpy(dtype=np.uint64)
-    return pd.DataFrame(
-        {
-            "term": [pdf["term"].iloc[0]],
-            "block_id": [int(pdf["block_id"].iloc[0])],
-            "n": [len(docs)],
-            "first_doc": [int(docs[0])],
-            "last_doc": [int(docs[-1])],
-            "max_tf": [int(tfs.max())],
-            "docs_vb": [vbyte_encode(delta_encode(docs))],
-            "tfs_vb": [vbyte_encode(tfs)],
-        }
-    )
+def _encode_pairs(docs_s: pd.Series, vals_s: pd.Series) -> pd.DataFrame:
+    """Arrow-batched scalar encoder: each row is ONE block's (sorted)
+    doc array + value array; returns the two VByte buffers.  A scalar
+    pandas UDF (not groupBy.applyInPandas) because a realistic Zipf
+    vocabulary yields millions of (term, block) groups and per-group
+    pandas dispatch dominates; batching thousands of blocks per Arrow
+    batch amortizes it away."""
+    out_d, out_v = [], []
+    for docs, vals in zip(docs_s, vals_s):
+        d = np.asarray(docs, dtype=np.uint64)
+        v = np.asarray(vals, dtype=np.uint64)
+        out_d.append(vbyte_encode(delta_encode(d)))
+        out_v.append(vbyte_encode(v))
+    return pd.DataFrame({"docs_vb": out_d, "vals_vb": out_v})
+
+
+def _encode_pairs_udf():
+    # constructed lazily: parsing the DDL return type needs an active
+    # SparkSession, which doesn't exist at import time in tests
+    return F.pandas_udf(_encode_pairs, "docs_vb binary, vals_vb binary")
 
 
 def build_block_postings(
     postings: DataFrame,
     block_span: int = DEFAULT_BLOCK_SPAN,
 ) -> DataFrame:
-    """postings(term, doc_int, tf) -> one row per (term, block)."""
-    with_block = postings.withColumn(
-        "block_id", (F.col("doc_int") / F.lit(block_span)).cast("long")
+    """postings(term, doc_int, tf) -> one row per (term, block).
+
+    Shape: one groupBy(term, block_id) with a sorted collect_list (keys
+    bounded by ``block_span`` postings — no skew), block-max metadata as
+    native aggregates, and the VByte packing as ONE scalar Arrow UDF
+    over the collected arrays."""
+    wb = postings.select(
+        "term",
+        (F.col("doc_int") / F.lit(block_span)).cast("long").alias("block_id"),
+        "doc_int", "tf",
     )
-    return with_block.select("term", "block_id", "doc_int", "tf").groupBy(
-        "term", "block_id"
-    ).applyInPandas(_encode_term_block, BLOCK_SCHEMA)
-
-
-def _encode_dl_block(pdf: pd.DataFrame) -> pd.DataFrame:
-    pdf = pdf.sort_values("doc_int")
-    docs = pdf["doc_int"].to_numpy(dtype=np.uint64)
-    dls = pdf["length"].to_numpy(dtype=np.uint64)
-    return pd.DataFrame(
-        {
-            "block_id": [int(pdf["block_id"].iloc[0])],
-            "n": [len(docs)],
-            "docs_vb": [vbyte_encode(delta_encode(docs))],
-            "dls_vb": [vbyte_encode(dls)],
-        }
+    grouped = wb.groupBy("term", "block_id").agg(
+        F.sort_array(F.collect_list(F.struct("doc_int", "tf"))).alias("pl"),
+        F.count("*").cast("int").alias("n"),
+        F.min("doc_int").alias("first_doc"),
+        F.max("doc_int").alias("last_doc"),
+        F.max("tf").cast("int").alias("max_tf"),
+    )
+    enc = _encode_pairs_udf()(
+        F.transform(F.col("pl"), lambda x: x["doc_int"]),
+        F.transform(F.col("pl"), lambda x: x["tf"].cast("long")),
+    )
+    return grouped.select(
+        "term", "block_id", "n", "first_doc", "last_doc", "max_tf",
+        enc["docs_vb"].alias("docs_vb"), enc["vals_vb"].alias("tfs_vb"),
     )
 
 
 def build_dl_blocks(docs: DataFrame, block_span: int = DEFAULT_BLOCK_SPAN) -> DataFrame:
     """docs(doc_int, length) -> aligned doc-length blocks for the WAND
     kernel's dl lookups (avoids a postings⋈docs shuffle at query time)."""
-    with_block = docs.withColumn(
-        "block_id", (F.col("doc_int") / F.lit(block_span)).cast("long")
+    wb = docs.select(
+        (F.col("doc_int") / F.lit(block_span)).cast("long").alias("block_id"),
+        "doc_int", F.col("length").cast("long").alias("length"),
     )
-    return with_block.select("block_id", "doc_int", "length").groupBy(
-        "block_id"
-    ).applyInPandas(_encode_dl_block, DL_BLOCK_SCHEMA)
+    grouped = wb.groupBy("block_id").agg(
+        F.sort_array(F.collect_list(F.struct("doc_int", "length"))).alias("pl"),
+        F.count("*").cast("int").alias("n"),
+    )
+    enc = _encode_pairs_udf()(
+        F.transform(F.col("pl"), lambda x: x["doc_int"]),
+        F.transform(F.col("pl"), lambda x: x["length"]),
+    )
+    return grouped.select(
+        "block_id", "n",
+        enc["docs_vb"].alias("docs_vb"), enc["vals_vb"].alias("dls_vb"),
+    )
 
 
 def decode_block(docs_vb: bytes, tfs_vb: bytes) -> tuple[np.ndarray, np.ndarray]:
