@@ -78,7 +78,31 @@ def run_suite(parallelism: int, sf_dir: str) -> dict:
         timings[name] = round(time.perf_counter() - t0, 4)
 
     EQ._index_cache.clear()
-    total = sum(v for k, v in timings.items() if k != "build_docs_per_sec")
+
+    # --- WAND-vs-exhaustive on a realistic Zipf vocabulary -------------
+    # (the testdata's 31-term vocabulary cannot show block-max pruning;
+    # this is O5's regime: mid-frequency head term + selective tails,
+    # both paths served from persisted bucket-pruned layouts)
+    zipf_docs = int(os.environ.get("SPARK_GRAFT_ZIPF_DOCS", "1000000"))
+    if zipf_docs > 0:
+        from tools.wand_crossover import run_zipf_crossover
+
+        z = run_zipf_crossover(spark, zipf_docs, vocab=zipf_docs // 10,
+                               reps=2)
+        timings["zipf_build"] = z["build_sec"]
+        timings["zipf_encode_write"] = z["encode_write_sec"]
+        ex_tot = sum(q["exhaustive_sec"] for q in z["queries"].values())
+        wd_tot = sum(q["wand_sec"] for q in z["queries"].values())
+        timings["zipf_q_exhaustive"] = round(ex_tot, 4)
+        timings["zipf_q_wand"] = round(wd_tot, 4)
+        timings["zipf_wand_speedup"] = round(ex_tot / wd_tot, 3) if wd_tot else None
+        timings["zipf_rank_identical"] = all(
+            q["identical_topk"] for q in z["queries"].values()
+        )
+
+    total = sum(v for k, v in timings.items()
+                if isinstance(v, (int, float)) and k not in
+                ("build_docs_per_sec", "zipf_wand_speedup", "zipf_rank_identical"))
     return {"timings": timings, "total": round(total, 4), "n_docs": n_docs}
 
 

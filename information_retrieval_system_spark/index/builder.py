@@ -240,6 +240,9 @@ def build_index(
         "total_len": total_len,
         "avgdl": avgdl,
         "n_postings": n_postings,
+        # integer doc keys mean doc_int == doc_id: consumers (WAND) can
+        # skip the final doc_int -> doc_id mapping join entirely
+        "int_doc_ids": doc_type in ("tinyint", "smallint", "int", "bigint"),
     }
     return IndexTables(postings=postings, docs=docs, terms=terms, stats=stats)
 

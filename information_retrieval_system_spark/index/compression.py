@@ -37,12 +37,10 @@ DEFAULT_BLOCK_SPAN = 1024
 # VByte codec (vectorized numpy)
 # ---------------------------------------------------------------------------
 
-def vbyte_encode(values: np.ndarray) -> bytes:
-    """Encode a uint64 array: 7 data bits per byte, high bit set on the
-    LAST byte of each value (classic VByte)."""
-    v = np.asarray(values, dtype=np.uint64)
+def _vbyte_encode_raw(v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Core encoder -> (byte array, per-value byte lengths)."""
     if v.size == 0:
-        return b""
+        return np.zeros(0, dtype=np.uint8), np.zeros(0, dtype=np.int64)
     # byte length per value = number of 7-bit chunks (min 1); computed
     # with a shift loop over chunks — float log2 is unsafe at the 64-bit
     # edge and this loop runs at most 9 times regardless of array size.
@@ -64,6 +62,13 @@ def vbyte_encode(values: np.ndarray) -> bytes:
         out[idx] = (work[mask] & np.uint64(0x7F)).astype(np.uint8)
         work[mask] >>= np.uint64(7)
     out[ends - 1] |= 0x80           # terminator bit on last byte
+    return out, lens
+
+
+def vbyte_encode(values: np.ndarray) -> bytes:
+    """Encode a uint64 array: 7 data bits per byte, high bit set on the
+    LAST byte of each value (classic VByte)."""
+    out, _ = _vbyte_encode_raw(np.asarray(values, dtype=np.uint64))
     return out.tobytes()
 
 
@@ -106,20 +111,46 @@ BLOCK_SCHEMA = (
 DL_BLOCK_SCHEMA = "block_id long, n int, docs_vb binary, dls_vb binary"
 
 
+def _encode_concat(flat: np.ndarray, starts: np.ndarray) -> list[bytes]:
+    """VByte-encode a concatenation of blocks in ONE vectorized pass,
+    then split the byte stream at block boundaries."""
+    out, lens = _vbyte_encode_raw(flat)
+    if flat.size == 0:
+        return []
+    blens = np.add.reduceat(lens, starts)
+    bends = np.cumsum(blens)
+    buf = out.tobytes()
+    return [buf[e - l:e] for e, l in zip(bends.tolist(), blens.tolist())]
+
+
 def _encode_pairs(docs_s: pd.Series, vals_s: pd.Series) -> pd.DataFrame:
     """Arrow-batched scalar encoder: each row is ONE block's (sorted)
-    doc array + value array; returns the two VByte buffers.  A scalar
-    pandas UDF (not groupBy.applyInPandas) because a realistic Zipf
-    vocabulary yields millions of (term, block) groups and per-group
-    pandas dispatch dominates; batching thousands of blocks per Arrow
-    batch amortizes it away."""
-    out_d, out_v = [], []
-    for docs, vals in zip(docs_s, vals_s):
-        d = np.asarray(docs, dtype=np.uint64)
-        v = np.asarray(vals, dtype=np.uint64)
-        out_d.append(vbyte_encode(delta_encode(d)))
-        out_v.append(vbyte_encode(v))
-    return pd.DataFrame({"docs_vb": out_d, "vals_vb": out_v})
+    doc array + value array; returns the two VByte buffers.
+
+    A scalar pandas UDF (not groupBy.applyInPandas) because a realistic
+    Zipf vocabulary yields millions of (term, block) groups and
+    per-group pandas dispatch dominates.  Inside the batch everything is
+    vectorized ACROSS blocks too: the arrays are concatenated, deltas
+    are computed in one pass (with each block's first element reset to
+    its absolute value), VByte runs once over the whole batch, and the
+    byte stream is sliced at block boundaries — per-block Python is two
+    list appends."""
+    n = len(docs_s)
+    if n == 0:
+        return pd.DataFrame({"docs_vb": [], "vals_vb": []})
+    counts = np.fromiter((len(x) for x in docs_s), dtype=np.int64, count=n)
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    all_docs = np.concatenate([np.asarray(x, dtype=np.uint64) for x in docs_s])
+    all_vals = np.concatenate([np.asarray(x, dtype=np.uint64) for x in vals_s])
+    # per-block delta coding on the concatenated array: global deltas,
+    # then restore each block's first element to its absolute doc id
+    d = all_docs.copy()
+    d[1:] -= all_docs[:-1]
+    d[starts] = all_docs[starts]
+    return pd.DataFrame(
+        {"docs_vb": _encode_concat(d, starts), "vals_vb": _encode_concat(all_vals, starts)}
+    )
 
 
 def _encode_pairs_udf():
@@ -215,9 +246,39 @@ def write_block_index(
     dl_blocks.write.mode("overwrite").parquet(os.path.join(out_dir, "dl_blocks"))
 
 
-def read_block_index(spark, out_dir: str) -> tuple[DataFrame, DataFrame]:
+def term_buckets_for(spark, terms: list[str], term_buckets: int) -> list[int]:
+    """The tbucket partitions holding these terms (same xxhash64 as the
+    write side, evaluated by Spark so the hash is bit-identical)."""
+    df = spark.createDataFrame([(t,) for t in terms], "term string")
+    rows = df.select(
+        F.pmod(F.xxhash64("term"), F.lit(term_buckets)).cast("int").alias("b")
+    ).distinct().collect()
+    return sorted(r.b for r in rows)
+
+
+def read_block_index(
+    spark,
+    out_dir: str,
+    prune_terms: list[str] | None = None,
+    term_buckets: int | None = None,
+    keep_bucket: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Read the serving layout.  With ``prune_terms`` + ``term_buckets``
+    the blocks scan is restricted to the partitions that can contain the
+    query terms — a T-term query touches at most T of the
+    ``term_buckets`` partitions (partition pruning, visible as
+    PartitionFilters in the scan node).  With ``keep_bucket`` the
+    tbucket partition column stays on the frame so a long-lived reader
+    can list the layout ONCE and prune per query with a
+    ``tbucket.isin(...)`` filter (partition pruning still applies at
+    plan time)."""
     import os
 
-    blocks = spark.read.parquet(os.path.join(out_dir, "blocks")).drop("tbucket")
+    blocks = spark.read.parquet(os.path.join(out_dir, "blocks"))
+    if prune_terms is not None and term_buckets:
+        bs = term_buckets_for(spark, prune_terms, term_buckets)
+        blocks = blocks.filter(F.col("tbucket").isin(bs))
+    if not keep_bucket:
+        blocks = blocks.drop("tbucket")
     dl_blocks = spark.read.parquet(os.path.join(out_dir, "dl_blocks"))
     return blocks, dl_blocks

@@ -46,7 +46,10 @@ def zipf_corpus(
     def token_at(p):
         u = _uniform(F.lit(seed), F.col("doc_id"), p)
         rank = F.floor(F.pow(F.lit(float(vocab)), u)).cast("long")
-        return F.concat(F.lit("t"), rank.cast("string"))
+        # letters-only token (the analyzer strips digits): rank digits
+        # mapped a..j, e.g. rank 123 -> "tbcd"
+        return F.concat(F.lit("t"),
+                        F.translate(rank.cast("string"), "0123456789", "abcdefghij"))
 
     return (
         base.select(F.col("id").alias("doc_id"), dl.alias("_dl"))
@@ -57,3 +60,8 @@ def zipf_corpus(
             ).alias("text"),
         )
     )
+
+
+def rank_token(rank: int) -> str:
+    """The token string for a vocabulary rank (1 = most frequent)."""
+    return "t" + str(rank).translate(str.maketrans("0123456789", "abcdefghij"))

@@ -1,14 +1,27 @@
-"""Measure exact-join BM25 vs block-max WAND top-k latency on an
-expanded corpus — the evidence for when the pruned path pays off.
+"""Measure exact-join BM25 vs block-max WAND top-k latency — the
+evidence for when the pruned path pays off.
 
-Usage: python tools/wand_crossover.py [factor] [parallelism]
+Two modes:
+
+- default: the driver testdata expanded N× (31-term vocabulary — the
+  regime where WAND CANNOT win, kept as the honest negative control).
+- ``--zipf [n_docs] [vocab] [parallelism]``: deterministic Zipf corpus
+  (sources/zipf.py — realistic term distribution, selective tails),
+  BOTH paths served from their persisted layouts with term-bucket
+  partition pruning: exhaustive reads the bucketed postings parquet and
+  joins docs for dl; WAND reads the compressed block layout (dl blocks
+  aligned, no docs join).  This is WAND's regime and the fair
+  serving-vs-serving comparison.
+
 Prints one JSON line.
 """
 
 from __future__ import annotations
 
 import json
+import shutil
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, ".")
@@ -24,6 +37,112 @@ from information_retrieval_system_spark.query import scoring
 from information_retrieval_system_spark.query.wand import bm25_topk_wand
 from information_retrieval_system_spark.session import get_spark
 from information_retrieval_system_spark.sources.corpus import expand_documents
+
+def zipf_query_ranks(vocab: int) -> list[tuple[int, int, int]]:
+    """Query shapes as vocabulary ranks, scaled to the vocabulary size:
+    a head/mid-frequency term + selective tail terms — the ad-hoc query
+    profile WAND targets."""
+    return [
+        (3, vocab // 10, vocab // 3),
+        (10, vocab // 4, 3 * vocab // 4),
+        (100, vocab // 16, 5 * vocab // 6),
+    ]
+
+
+def run_zipf_crossover(spark, n_docs: int, vocab: int, block_span: int = 4096,
+                       term_buckets: int = 64, reps: int = 3, k: int = 20,
+                       work_dir: str | None = None) -> dict:
+    """Build the Zipf corpus + both persisted layouts, then time
+    exhaustive-served vs WAND-served per query (min over reps).
+    Returns the result dict (also used by bench.py)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from information_retrieval_system_spark.index.builder import (
+        IndexTables, read_index, write_index)
+    from information_retrieval_system_spark.index.compression import (
+        read_block_index, term_buckets_for, write_block_index)
+    from information_retrieval_system_spark.sources.zipf import rank_token, zipf_corpus
+
+    cfg = EngineConfig(use_stopwords=False, use_stemmer=False)
+    base = work_dir or os.path.join(tempfile.gettempdir(), f"zipf_wand_{n_docs}")
+    ix_dir, bl_dir = base + "_ix", base + "_blocks"
+    out: dict = {"n_docs": n_docs, "vocab": vocab, "block_span": block_span}
+
+    t0 = time.perf_counter()
+    corpus = zipf_corpus(spark, n_docs, vocab=vocab).cache()
+    corpus.count()
+    ix = build_index(corpus, cfg, doc_col="doc_id", text_col="text", with_positions=False)
+    out["build_sec"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    shutil.rmtree(ix_dir, ignore_errors=True)
+    write_index(ix, ix_dir, cfg)
+    blocks = build_block_postings(ix.postings, block_span=block_span)
+    dlb = build_dl_blocks(ix.docs, block_span=block_span)
+    shutil.rmtree(bl_dir, ignore_errors=True)
+    write_block_index(blocks, dlb, bl_dir, term_buckets=term_buckets)
+    out["encode_write_sec"] = round(time.perf_counter() - t0, 2)
+    corpus.unpersist()
+    spark.catalog.clearCache()
+
+    six = read_index(spark, ix_dir)
+    six.terms.cache().count()
+    six.docs.cache().count()
+
+    def exhaustive(Q, qt):
+        bs = term_buckets_for(spark, Q, cfg.term_buckets)
+        p = (six.postings.filter(F.col("bucket").isin(bs))
+             .filter(F.col("term").isin(Q)).drop("bucket"))
+        ixq = IndexTables(postings=p, docs=six.docs, terms=six.terms, stats=six.stats)
+        return scoring.bm25_search(ixq, qt, k=k, cfg=cfg).collect()
+
+    # integer doc ids (stats flag): doc_int == doc_id, so WAND skips the
+    # final mapping join — the compressed layout's one denormalization gap
+    wand_docs = None if six.stats.get("int_doc_ids") else six.docs
+    # list the layout ONCE (symmetric with six.postings on the exhaustive
+    # side); per-query pruning is the tbucket filter below
+    b_all, dlb_served = read_block_index(spark, bl_dir, keep_bucket=True)
+
+    def wand(Q):
+        bs = term_buckets_for(spark, Q, term_buckets)
+        b = b_all.filter(F.col("tbucket").isin(bs)).drop("tbucket")
+        out = bm25_topk_wand(b, dlb_served, six.terms, six.stats, Q, k=k, cfg=cfg,
+                             block_span=block_span, docs=wand_docs)
+        if wand_docs is None:
+            out = out.select(F.col("doc_int").alias("doc_id"), "doc_int", "score")
+        return out.collect()
+
+    out["queries"] = {}
+    for ranks in zipf_query_ranks(vocab):
+        Q = [rank_token(r) for r in ranks]
+        qt = spark.createDataFrame([(t, 1.0) for t in Q], "term string, qtf double")
+        exhaustive(Q, qt); wand(Q)  # warm both paths (JIT, python pool)
+        t_ex = t_wd = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter(); ex = exhaustive(Q, qt); t_ex = min(t_ex, time.perf_counter() - t0)
+            t0 = time.perf_counter(); wd = wand(Q); t_wd = min(t_wd, time.perf_counter() - t0)
+        same = ([(r.doc_id, round(r.score, 6)) for r in ex]
+                == [(r.doc_id, round(r.score, 6)) for r in wd])
+        out["queries"]["+".join(map(str, ranks))] = {
+            "exhaustive_sec": round(t_ex, 3),
+            "wand_sec": round(t_wd, 3),
+            "speedup": round(t_ex / t_wd, 2) if t_wd > 0 else None,
+            "identical_topk": same,
+        }
+    six.terms.unpersist(); six.docs.unpersist()
+    return out
+
+
+def main_zipf() -> None:
+    args = [a for a in sys.argv[2:] if not a.startswith("-")]
+    n_docs = int(args[0]) if len(args) > 0 else 2_000_000
+    vocab = int(args[1]) if len(args) > 1 else 200_000
+    par = int(args[2]) if len(args) > 2 else 16
+    spark = get_spark("wand-zipf", parallelism=par, shuffle_partitions=64)
+    out = run_zipf_crossover(spark, n_docs, vocab)
+    out["parallelism"] = par
+    print(json.dumps(out))
 
 
 def main() -> None:
@@ -64,4 +183,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--zipf" in sys.argv:
+        main_zipf()
+    else:
+        main()
