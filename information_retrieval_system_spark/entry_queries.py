@@ -375,6 +375,7 @@ from .entry_batch import BATCH_ORACLES, BATCH_QUERIES_REG  # noqa: E402
 from .entry_eval import EVAL_ORACLES, EVAL_QUERIES  # noqa: E402
 from .entry_s2 import S2_ORACLES, S2_QUERIES  # noqa: E402
 from .entry_serving import SERVING_ORACLES, SERVING_QUERIES  # noqa: E402
+from .entry_streaming import STREAMING_ORACLES, STREAMING_QUERIES  # noqa: E402
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "term_df": q_term_df,
@@ -395,6 +396,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **EVAL_QUERIES,
     **S2_QUERIES,
     **SERVING_QUERIES,
+    **STREAMING_QUERIES,
 }
 
 ORACLES: dict[str, str] = {
@@ -416,4 +418,5 @@ ORACLES: dict[str, str] = {
     **EVAL_ORACLES,
     **S2_ORACLES,
     **SERVING_ORACLES,
+    **STREAMING_ORACLES,
 }

@@ -1,0 +1,55 @@
+"""Gradeable query: the Structured-Streaming incremental index, gated
+against the SAME DuckDB oracle as the batch path.
+
+``stream_term_df`` feeds the documents table through the file-source
+stream in several micro-batches (maxFilesPerTrigger), lets foreachBatch
+append per-batch posting deltas, then aggregates the merged delta view
+into (term, df, cf).  Because each doc arrives exactly once, the union
+aggregation is batching-invariant — so the streaming result must be
+value-identical to the batch ``term_df`` oracle.  This upgrades the
+streaming path from a stream==batch pytest to a first-class driver gate.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import entry_queries as EQ
+from .streaming.incremental import incremental_index_stream, merged_index_view
+
+_DONE: dict[str, str] = {}
+
+
+def _stream_out(spark: SparkSession, sf_dir: str) -> str:
+    if sf_dir not in _DONE:
+        base = os.path.join(tempfile.gettempdir(), "irs_stream",
+                            sf_dir.strip("/").replace("/", "_"))
+        shutil.rmtree(base, ignore_errors=True)
+        in_dir = os.path.join(base, "in")
+        # land the corpus as several files so availableNow drains it in
+        # multiple micro-batches (maxFilesPerTrigger=4)
+        EQ.load_documents(spark, sf_dir).repartition(8).write.parquet(in_dir)
+        q = incremental_index_stream(
+            spark, in_dir,
+            checkpoint_dir=os.path.join(base, "ckpt"),
+            out_dir=os.path.join(base, "out"),
+            cfg=EQ.NOSTEM_CFG,
+        )
+        q.awaitTermination()
+        _DONE[sf_dir] = os.path.join(base, "out")
+    return _DONE[sf_dir]
+
+
+def q_stream_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _stream_out(spark, sf_dir)
+    _, _, terms, _ = merged_index_view(spark, out)
+    return terms.select("term", F.col("df").cast("long").alias("df"),
+                        F.col("cf").cast("long").alias("cf"))
+
+
+STREAMING_QUERIES = {"stream_term_df": q_stream_term_df}
+STREAMING_ORACLES = {"stream_term_df": EQ.SQL_TERM_DF}
