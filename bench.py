@@ -83,26 +83,35 @@ def run_suite(parallelism: int, sf_dir: str) -> dict:
     # (the testdata's 31-term vocabulary cannot show block-max pruning;
     # this is O5's regime: mid-frequency head term + selective tails,
     # both paths served from persisted bucket-pruned layouts)
-    zipf_docs = int(os.environ.get("SPARK_GRAFT_ZIPF_DOCS", "1000000"))
+    zipf_docs = int(os.environ.get("SPARK_GRAFT_ZIPF_DOCS", "600000"))
+    zipf = {}
     if zipf_docs > 0:
         from tools.wand_crossover import run_zipf_crossover
 
         z = run_zipf_crossover(spark, zipf_docs, vocab=zipf_docs // 10,
                                reps=2)
-        timings["zipf_build"] = z["build_sec"]
-        timings["zipf_encode_write"] = z["encode_write_sec"]
+        zipf["zipf_n_docs"] = zipf_docs
+        zipf["zipf_build"] = z["build_sec"]
+        zipf["zipf_encode_write"] = z["encode_write_sec"]
         ex_tot = sum(q["exhaustive_sec"] for q in z["queries"].values())
         wd_tot = sum(q["wand_sec"] for q in z["queries"].values())
-        timings["zipf_q_exhaustive"] = round(ex_tot, 4)
-        timings["zipf_q_wand"] = round(wd_tot, 4)
-        timings["zipf_wand_speedup"] = round(ex_tot / wd_tot, 3) if wd_tot else None
-        timings["zipf_rank_identical"] = all(
+        zipf["zipf_q_exhaustive"] = round(ex_tot, 4)
+        zipf["zipf_q_wand"] = round(wd_tot, 4)
+        zipf["zipf_wand_speedup_overall"] = round(ex_tot / wd_tot, 3) if wd_tot else None
+        # per-query-shape speedups: WAND's regime is the head-heavy query
+        # (its speedup grows with corpus size); the all-rare query is
+        # where exhaustive is already trivially cheap
+        for name, q in z["queries"].items():
+            zipf[f"zipf_speedup_{name}"] = q["speedup"]
+        zipf["zipf_rank_identical"] = all(
             q["identical_topk"] for q in z["queries"].values()
         )
 
-    total = sum(v for k, v in timings.items()
-                if isinstance(v, (int, float)) and k not in
-                ("build_docs_per_sec", "zipf_wand_speedup", "zipf_rank_identical"))
+    # headline value = the sf-suite wall time (comparable across rounds);
+    # the zipf crossover's one-time corpus build/encode is reported in the
+    # queries dict but not folded into the suite total
+    total = sum(v for k, v in timings.items() if k != "build_docs_per_sec")
+    timings.update(zipf)
     return {"timings": timings, "total": round(total, 4), "n_docs": n_docs}
 
 

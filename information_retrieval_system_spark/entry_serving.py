@@ -110,14 +110,76 @@ LEFT JOIN dl ON dl.doc_id = t.doc_id
 """
 
 
+def q_code_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 over the input_hint corpus shape (repo, path, commit, lang,
+    content) with the canonical STRING doc key — exercises the
+    two-phase doc_int densification the integer-keyed entries skip."""
+    from .sources.corpus import corpus_from_documents, doc_key_expr
+
+    key = f"code:{sf_dir}"
+    if key not in _SERVE_CACHE:
+        corpus = corpus_from_documents(EQ.load_documents(spark, sf_dir)).withColumn(
+            "doc_key", doc_key_expr())
+        _SERVE_CACHE[key] = B.build_index(
+            corpus, EQ.NOSTEM_CFG, doc_col="doc_key", text_col="content",
+            with_positions=False)
+    ix = _SERVE_CACHE[key]
+    res = scoring.bm25_search(ix, EQ.query_terms_df(spark), k=EQ.TOPK, cfg=EQ.NOSTEM_CFG)
+    return res.select(F.col("doc_id").alias("doc_key"),
+                      F.round("score", 4).alias("score"))
+
+
+SQL_CODE_BM25 = f"""
+WITH keyed AS (
+  SELECT sha256(concat_ws('|',
+           'org/' || source,
+           'src/f' || CAST(doc_id AS VARCHAR) || '.txt',
+           md5(source || ':' || CAST(doc_id AS VARCHAR)))) AS doc_key,
+         text
+  FROM documents
+),
+raw AS (
+  SELECT doc_key,
+         unnest(string_split_regex(
+           trim(lower(regexp_replace(regexp_replace(text,
+                '[^\\p{{L}}\\p{{Nd}}]+', ' ', 'g'), '[0-9]', ' ', 'g'))),
+           ' +')) AS term
+  FROM keyed
+),
+toks AS (SELECT doc_key, term FROM raw WHERE term <> ''),
+post AS (SELECT doc_key, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM post GROUP BY 1),
+dl AS (SELECT k.doc_key, CAST(coalesce(t.dl, 0) AS DOUBLE) AS dl
+       FROM keyed k LEFT JOIN (SELECT doc_key, count(*) AS dl FROM toks GROUP BY 1) t
+         USING (doc_key)),
+stats AS (SELECT CAST((SELECT count(*) FROM keyed) AS DOUBLE) AS n,
+                 CAST((SELECT count(*) FROM toks) // (SELECT count(*) FROM keyed) AS DOUBLE) AS avgdl),
+q AS (SELECT unnest({EQ._sql_terms_list()}) AS term),
+scored AS (
+  SELECT p.doc_key,
+         (ln((s.n - f.df + 0.5) / (f.df + 0.5)) / ln(2))
+           * p.tf * ({EQ.K1} + 1)
+           / (p.tf + {EQ.K1} * (1 - {EQ.B} + {EQ.B} * d.dl / s.avgdl)) AS ts
+  FROM post p JOIN q USING (term) JOIN dft f USING (term)
+  JOIN dl d USING (doc_key) CROSS JOIN stats s
+)
+SELECT doc_key, round(sum(ts), 4) AS score
+FROM scored GROUP BY doc_key
+ORDER BY sum(ts) DESC, doc_key ASC
+LIMIT {EQ.TOPK}
+"""
+
+
 SERVING_QUERIES = {
     "bm25_served": q_bm25_served,
     "wand_served": q_wand_served,
     "bm25_full": q_bm25_full,
+    "code_bm25": q_code_bm25,
 }
 
 SERVING_ORACLES = {
     "bm25_served": EQ.SQL_BM25_TOPK,
     "wand_served": EQ.SQL_BM25_TOPK,
     "bm25_full": SQL_BM25_FULL,
+    "code_bm25": SQL_CODE_BM25,
 }

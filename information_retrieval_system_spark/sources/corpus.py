@@ -19,22 +19,25 @@ CORPUS_COLUMNS = ("repo", "path", "commit", "lang", "content")
 def corpus_from_documents(docs: DataFrame) -> DataFrame:
     """documents(doc_id, text, lang, source, ...) -> input_hint shape.
 
-    ``commit`` = sha1-style 40-hex of the row identity (mirrors the
-    reference's 40-hex doc hash, Index.java:270); doc identity =
+    ``commit`` = md5 hex of the row identity (the analog of the
+    reference's hex doc hash, Index.java:270; md5 rather than sha1 so
+    the cross-engine oracle can recompute it); doc identity =
     (repo, path, commit).
     """
     return docs.select(
         F.concat(F.lit("org/"), F.col("source")).alias("repo"),
         F.concat(F.lit("src/f"), F.col("doc_id").cast("string"), F.lit(".txt")).alias("path"),
-        F.sha1(F.concat_ws(":", F.col("source"), F.col("doc_id").cast("string"))).alias("commit"),
+        F.md5(F.concat_ws(":", F.col("source"), F.col("doc_id").cast("string"))).alias("commit"),
         F.col("lang"),
         F.col("text").alias("content"),
     )
 
 
 def doc_key_expr() -> F.Column:
-    """Canonical doc_id for the corpus shape: sha1(repo||path||commit)."""
-    return F.sha1(F.concat_ws("|", F.col("repo"), F.col("path"), F.col("commit")))
+    """Canonical STRING doc key for the corpus shape:
+    sha256(repo|path|commit).  String keys exercise the builder's
+    two-phase doc_int densification (integer keys skip it)."""
+    return F.sha2(F.concat_ws("|", F.col("repo"), F.col("path"), F.col("commit")), 256)
 
 
 def expand_documents(docs: DataFrame, factor: int,
