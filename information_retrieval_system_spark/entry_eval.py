@@ -151,14 +151,94 @@ FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join relational query (TPC-H Q5 family): lineitem ⋈ orders
+    ⋈ customer ⋈ nation, revenue per (nation, order year).  The nation
+    dimension is explicitly broadcast — the plan a 100-TB fact table
+    wants (two shuffle joins on the fact keys, zero for the dim)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").cast("long").alias("order_year"))
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+            .alias("revenue"),
+        )
+    )
+
+
+SQL_REVENUE_BY_NATION = """
+SELECT n.n_name AS nation,
+       CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
+       CAST(count(*) AS BIGINT) AS n_items,
+       round(CAST(sum(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE), 4) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1, 2
+"""
+
+
+def q_salted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-term-safe posting-array export (S5/S6 shape): two-level
+    salted collect (partial arrays per (term, salt), merged per term).
+    Gated by a POSITIONAL checksum over the final array — any wrong
+    order, missing or duplicated posting changes it."""
+    from .index.skew import salted_posting_arrays
+
+    ix = EQ.get_index(spark, sf_dir)
+    out = salted_posting_arrays(ix.postings)
+    checksum = F.aggregate(
+        F.zip_with(
+            F.col("postings"),
+            F.sequence(F.lit(1), F.size("postings")),
+            lambda p, i: i.cast("long") * p["doc_int"],
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return out.select(
+        "term",
+        F.col("df").cast("long").alias("df"),
+        F.size("postings").cast("long").alias("n"),
+        checksum.alias("pos_checksum"),
+    )
+
+
+SQL_SALTED_POSTINGS = f"""
+WITH {EQ.TOKS_CTE},
+post AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+rn AS (
+  SELECT term, doc_id,
+         row_number() OVER (PARTITION BY term ORDER BY doc_id) AS r
+  FROM post
+)
+SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(r * doc_id) AS BIGINT) AS pos_checksum
+FROM rn GROUP BY term
+"""
+
+
 EVAL_QUERIES = {
     "eval_metrics": q_eval_metrics,
     "events_tumbling": q_events_tumbling,
     "rollup_pricing": q_rollup_pricing,
+    "revenue_by_nation": q_revenue_by_nation,
+    "salted_postings": q_salted_postings,
 }
 
 EVAL_ORACLES = {
     "eval_metrics": _sql_eval_metrics(),
     "events_tumbling": SQL_EVENTS_TUMBLING,
     "rollup_pricing": SQL_ROLLUP_PRICING,
+    "revenue_by_nation": SQL_REVENUE_BY_NATION,
+    "salted_postings": SQL_SALTED_POSTINGS,
 }

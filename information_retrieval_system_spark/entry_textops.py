@@ -315,6 +315,54 @@ def _lit_list(vals: list[float]) -> str:
     return "[" + ", ".join(repr(float(v)) for v in vals) + "]"
 
 
+IVF_CENTROID_IDS = list(range(1, 9))  # data-point centroids (vec 0 is the query)
+IVF_PROBE = 2
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN: assign every vector to its nearest data-point
+    centroid, probe the 2 cells nearest the query."""
+    qv = _query_vec(spark, sf_dir)
+    out = similarity.ivf_cosine_topk(_emb(spark, sf_dir), qv, IVF_CENTROID_IDS,
+                                     k=EMB_K, n_probe=IVF_PROBE)
+    return out.select(F.col("vec_id").cast("long").alias("vec_id"),
+                      F.round("cosine", 4).alias("cosine"))
+
+
+def _sql_ivf_topk() -> str:
+    cids = ", ".join(str(c) for c in IVF_CENTROID_IDS)
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id IN ({cids})),
+a AS (
+  SELECT e.vec_id, c.cid,
+         list_dot_product(e.v, c.cv)
+           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS cos
+  FROM e CROSS JOIN cent c
+),
+cells AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+    FROM a) WHERE rn = 1
+),
+qprobe AS (
+  SELECT cid FROM (
+    SELECT cid, row_number() OVER (ORDER BY cos DESC, cid ASC) AS rn
+    FROM a WHERE vec_id = 0) WHERE rn <= {IVF_PROBE}
+),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id,
+         list_dot_product(e.v, q.qv)
+           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS c
+  FROM e JOIN cells USING (vec_id) CROSS JOIN q
+  WHERE cells.cell IN (SELECT cid FROM qprobe)
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, round(c, 4) AS cosine
+FROM scored ORDER BY c DESC, vec_id ASC LIMIT {EMB_K}
+"""
+
+
 EMB_NEAR_DUP_THRESHOLD = 0.3  # synthetic embeddings max within-label cosine ~0.47
 
 
@@ -475,6 +523,7 @@ TEXTOPS_QUERIES = {
     "simhash": q_simhash,
     "cosine_topk": q_cosine_topk,
     "lsh_topk": q_lsh_topk,
+    "ivf_topk": q_ivf_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "language_id": q_language_id,
     "token_counts": q_token_counts,
@@ -491,6 +540,7 @@ TEXTOPS_ORACLES = {
     "simhash": _sql_simhash(),
     "cosine_topk": SQL_COSINE_TOPK,
     "lsh_topk": _sql_lsh_topk(),
+    "ivf_topk": _sql_ivf_topk(),
     "embedding_near_dup": _sql_emb_near_dup(),
     "language_id": _sql_language_id(),
     "token_counts": SQL_TOKEN_COUNTS,

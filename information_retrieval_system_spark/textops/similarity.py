@@ -100,6 +100,67 @@ def lsh_cosine_topk(
     )
 
 
+def ivf_cells(
+    emb: DataFrame,
+    centroid_ids: list[int],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantizer with DATA-POINT centroids: the centroid set
+    is the vectors with the given ids (deterministic, no RNG/k-means
+    state), and every vector is assigned to its nearest centroid by
+    cosine (ties -> smaller centroid id).  -> (id, cell).
+
+    The assignment is a broadcast join against the K-row centroid frame
+    + one window per vector — at scale this is the standard
+    cluster-assign pass of IVF, and the cell column becomes a partition
+    key of the stored table so probes prune partitions."""
+    from pyspark.sql import Window
+
+    cents = emb.filter(F.col(id_col).isin(centroid_ids)).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+    )
+    joined = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).join(
+        F.broadcast(cents)
+    )
+    cos = cosine_expr(F.col("v").cast("array<double>"), F.col("cv").cast("array<double>"))
+    w = Window.partitionBy("id").orderBy(F.desc("cos"), F.asc("cid"))
+    return (
+        joined.withColumn("cos", cos)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("id", F.col("cid").alias("cell"))
+    )
+
+
+def ivf_cosine_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    centroid_ids: list[int],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat approximate top-k: search only the ``n_probe`` cells
+    whose centroids are nearest the query (probe order: cosine DESC,
+    centroid id ASC)."""
+    cents = [(r[0], [float(x) for x in r[1]]) for r in
+             emb.filter(F.col(id_col).isin(centroid_ids))
+                .select(id_col, vec_col).collect()]
+
+    def cos(a: list[float], b: list[float]) -> float:
+        import math
+        num = sum(x * y for x, y in zip(a, b))
+        return num / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    probes = [cid for cid, _ in sorted(cents, key=lambda c: (-cos(query_vec, c[1]), c[0]))[:n_probe]]
+    cells = ivf_cells(emb, centroid_ids, id_col, vec_col)
+    cand = emb.join(cells.filter(F.col("cell").isin(probes)),
+                    emb[id_col] == cells["id"], "leftsemi")
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,
