@@ -227,7 +227,50 @@ FROM rn GROUP BY term
 """
 
 
+SESSION_GAP_SEC = 1800
+
+
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (the batch form of the custom stateful
+    streaming operator in streaming/sessions.py)."""
+    from .streaming.sessions import sessionize_batch
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = sessionize_batch(ev, gap_sec=SESSION_GAP_SEC)
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "session_start_us", "session_end_us", "n_events",
+        F.round("sum_value", 4).alias("sum_value"),
+    )
+
+
+SQL_SESSIONIZATION = f"""
+WITH o AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, value,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+f AS (
+  SELECT *, CASE WHEN prev IS NULL OR us - prev > {SESSION_GAP_SEC} * 1000000
+                 THEN 1 ELSE 0 END AS ns
+  FROM o
+),
+sid AS (
+  SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM f
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(min(us) AS BIGINT) AS session_start_us,
+       CAST(max(us) AS BIGINT) AS session_end_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM sid GROUP BY user_id, sid
+"""
+
+
 EVAL_QUERIES = {
+    "sessionization": q_sessionization,
     "eval_metrics": q_eval_metrics,
     "events_tumbling": q_events_tumbling,
     "rollup_pricing": q_rollup_pricing,
@@ -236,6 +279,7 @@ EVAL_QUERIES = {
 }
 
 EVAL_ORACLES = {
+    "sessionization": SQL_SESSIONIZATION,
     "eval_metrics": _sql_eval_metrics(),
     "events_tumbling": SQL_EVENTS_TUMBLING,
     "rollup_pricing": SQL_ROLLUP_PRICING,

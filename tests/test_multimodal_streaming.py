@@ -106,3 +106,61 @@ def test_incremental_stream_matches_batch(spark, sf_small, tmp_path):
     assert a == b
     assert stats["n_docs"] == batch.stats["n_docs"]
     assert stats["avgdl"] == batch.stats["avgdl"]
+
+
+def test_stream_sessionization_matches_batch_closed_sessions(spark, tmp_path):
+    """applyInPandasWithState sessionization: state carries across
+    micro-batches; CLOSED sessions (ones a later event terminated) must
+    equal the batch plan's closed sessions."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from information_retrieval_system_spark.streaming.sessions import (
+        SESSION_SCHEMA, sessionize_batch, sessionize_stream)
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select("event_id", "ts", "user_id", "value")
+        .filter(F.col("user_id") < 10)
+    )
+    # land in 3 time-ordered files so sessions span micro-batches
+    in_dir = str(tmp_path / "in")
+    parts = ev.withColumn(
+        "part", F.ntile(3).over(__import__("pyspark").sql.Window.orderBy("ts"))
+    )
+    for p in (1, 2, 3):
+        parts.filter(F.col("part") == p).drop("part").coalesce(1).write.mode(
+            "append").parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        sessionize_stream(stream, gap_sec=600)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    streamed = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events, round(r.sum_value, 6))
+        for r in spark.read.schema(SESSION_SCHEMA).parquet(out_dir).collect()
+    }
+    batch_all = sessionize_batch(ev, gap_sec=600)
+    # closed sessions = all but each user's LAST session
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy(F.desc("session_end_us"))
+    closed = batch_all.withColumn("rn", F.row_number().over(w)).filter("rn > 1")
+    expected = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events, round(r.sum_value, 6))
+        for r in closed.collect()
+    }
+    assert streamed == expected
+    assert len(expected) > 0
