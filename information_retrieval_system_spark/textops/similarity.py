@@ -118,11 +118,12 @@ def ivf_cells(
     from pyspark.sql import Window
 
     cents = emb.filter(F.col(id_col).isin(centroid_ids)).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"), F.lit(1).alias("_k")
     )
-    joined = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).join(
-        F.broadcast(cents)
-    )
+    # K-row broadcast fan-out as a hash join on a literal key (not a
+    # nested-loop cross join) — same bounded work, BHJ in the plan
+    joined = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                        F.lit(1).alias("_k")).join(F.broadcast(cents), "_k").drop("_k")
     cos = cosine_expr(F.col("v").cast("array<double>"), F.col("cv").cast("array<double>"))
     w = Window.partitionBy("id").orderBy(F.desc("cos"), F.asc("cid"))
     return (
