@@ -118,18 +118,34 @@ def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            # EXACT integer cents (value is 2-decimal data): double
+            # summation is order-dependent across engines, and Spark's
+            # BigDecimal HALF_UP vs DuckDB's float floor(x*1e4+0.5)
+            # disagree on exact .00005 boundaries — so both the sum AND
+            # the 4-decimal avg rounding are done in BIGINT arithmetic
+            F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("long")).alias("_c"),
+        )
+        .select(
+            "day", "event_type", "n_events",
+            (F.col("_c") / F.lit(100.0)).alias("sum_value"),
+            # half-up round of (cents*100 / n) at 4 decimals, in integers
+            (F.expr("(_c * 200 + n_events) div (2 * n_events)") / F.lit(10000.0))
+            .alias("avg_value"),
         )
     )
 
 
 SQL_EVENTS_TUMBLING = """
-SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
-       CAST(count(*) AS BIGINT) AS n_events,
-       round(CAST(sum(value) AS DOUBLE), 4) AS sum_value,
-       round(CAST(avg(value) AS DOUBLE), 4) AS avg_value
-FROM events GROUP BY 1, 2
+WITH g AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+)
+SELECT day, event_type, n_events,
+       c / 100.0 AS sum_value,
+       ((c * 200 + n_events) // (2 * n_events)) / 10000.0 AS avg_value
+FROM g
 """
 
 
@@ -168,8 +184,13 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.year("o_orderdate").cast("long").alias("order_year"))
         .agg(
             F.count("*").alias("n_items"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
-            .alias("revenue"),
+            # exact decimal arithmetic (2-decimal inputs) — see
+            # events_tumbling for why double sums can't be oracle-gated
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")
+                      * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")))
+                .cast("double"), 4,
+            ).alias("revenue"),
         )
     )
 
@@ -178,7 +199,8 @@ SQL_REVENUE_BY_NATION = """
 SELECT n.n_name AS nation,
        CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
        CAST(count(*) AS BIGINT) AS n_items,
-       round(CAST(sum(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE), 4) AS revenue
+       round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4) AS revenue
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -264,7 +286,7 @@ SELECT CAST(user_id AS BIGINT) AS user_id,
        CAST(min(us) AS BIGINT) AS session_start_us,
        CAST(max(us) AS BIGINT) AS session_end_us,
        CAST(count(*) AS BIGINT) AS n_events,
-       round(sum(value), 4) AS sum_value
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_value
 FROM sid GROUP BY user_id, sid
 """
 

@@ -50,7 +50,9 @@ def sessionize_batch(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
             F.min("_us").alias("session_start_us"),
             F.max("_us").alias("session_end_us"),
             F.count("*").cast("long").alias("n_events"),
-            F.sum("value").alias("sum_value"),
+            # exact decimal sum (2-decimal event values), surfaced as
+            # double — engine-order-independent, so oracle-gateable
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
         )
         .drop("_sid")
     )
