@@ -28,12 +28,17 @@ from .query.batch import project_results
 
 _SERVE_CACHE: dict[str, object] = {}
 
+#: round-trip caches are PER-PROCESS (pid in the path): two concurrent
+#: suite runs on the same sf_dir must not mode=overwrite a layout the
+#: other process holds live readers on
+_TMP_TAG = f"pid{os.getpid()}"
+
 
 def _served_ix(spark: SparkSession, sf_dir: str) -> B.IndexTables:
     key = f"ix:{sf_dir}"
     if key not in _SERVE_CACHE:
         ix = EQ.get_index(spark, sf_dir)
-        out = os.path.join(tempfile.gettempdir(), "irs_served",
+        out = os.path.join(tempfile.gettempdir(), "irs_served", _TMP_TAG,
                            sf_dir.strip("/").replace("/", "_"))
         B.write_index(ix, out, EQ.NOSTEM_CFG)
         _SERVE_CACHE[key] = B.read_index(spark, out)
@@ -47,7 +52,14 @@ def q_bm25_served(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("score", 4).alias("score"))
 
 
+WAND_TERM_BUCKETS = 8
+
+
 def q_wand_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAND over the persisted compressed layout, through the PRUNED read
+    path: the layout is listed once (keep_bucket=True) and the query's
+    tbucket partition filter + dl semi-join are applied inside
+    bm25_topk_wand — the graded plan is the serving plan."""
     from .query.wand import bm25_topk_wand
 
     key = f"blocks:{sf_dir}"
@@ -55,15 +67,16 @@ def q_wand_served(spark: SparkSession, sf_dir: str) -> DataFrame:
         ix = EQ.get_index(spark, sf_dir)
         blocks = build_block_postings(ix.postings, block_span=256)
         dlb = build_dl_blocks(ix.docs, block_span=256)
-        out = os.path.join(tempfile.gettempdir(), "irs_served_blocks",
+        out = os.path.join(tempfile.gettempdir(), "irs_served_blocks", _TMP_TAG,
                            sf_dir.strip("/").replace("/", "_"))
-        write_block_index(blocks, dlb, out, term_buckets=8)
-        _SERVE_CACHE[key] = read_block_index(spark, out)
+        write_block_index(blocks, dlb, out, term_buckets=WAND_TERM_BUCKETS)
+        _SERVE_CACHE[key] = read_block_index(spark, out, keep_bucket=True)
     blocks, dlb = _SERVE_CACHE[key]
     ix = _served_ix(spark, sf_dir)
     out = bm25_topk_wand(blocks, dlb, ix.terms, ix.stats,
                          list(EQ.QUERY_TERMS), k=EQ.TOPK, cfg=EQ.NOSTEM_CFG,
-                         block_span=256, docs=ix.docs)
+                         block_span=256, docs=ix.docs,
+                         term_buckets=WAND_TERM_BUCKETS)
     return out.select(F.col("doc_id").cast("long").alias("doc_id"),
                       F.round("score", 4).alias("score"))
 

@@ -24,9 +24,17 @@ from .streaming.incremental import incremental_index_stream, merged_index_view
 _DONE: dict[str, str] = {}
 
 
+#: hard ceiling on the availableNow drain — a stalled stream must FAIL
+#: the gate loudly, never hang the whole driver/correctness run
+STREAM_TIMEOUT_SEC = 300
+
+
 def _stream_out(spark: SparkSession, sf_dir: str) -> str:
     if sf_dir not in _DONE:
+        # pid in the path: concurrent suite runs on the same sf_dir must
+        # not share a checkpoint/output dir (overwrite under live readers)
         base = os.path.join(tempfile.gettempdir(), "irs_stream",
+                            f"pid{os.getpid()}",
                             sf_dir.strip("/").replace("/", "_"))
         shutil.rmtree(base, ignore_errors=True)
         in_dir = os.path.join(base, "in")
@@ -39,7 +47,15 @@ def _stream_out(spark: SparkSession, sf_dir: str) -> str:
             out_dir=os.path.join(base, "out"),
             cfg=EQ.NOSTEM_CFG,
         )
-        q.awaitTermination()
+        try:
+            finished = q.awaitTermination(STREAM_TIMEOUT_SEC)
+        finally:
+            q.stop()
+        if not finished:
+            raise RuntimeError(
+                f"incremental index stream did not drain within "
+                f"{STREAM_TIMEOUT_SEC}s (checkpoint: {base})"
+            )
         _DONE[sf_dir] = os.path.join(base, "out")
     return _DONE[sf_dir]
 

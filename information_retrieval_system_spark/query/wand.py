@@ -126,16 +126,34 @@ def bm25_topk_wand(
     cfg: EngineConfig = DEFAULT_CONFIG,
     block_span: int = DEFAULT_BLOCK_SPAN,
     docs: DataFrame | None = None,
+    term_buckets: int | None = None,
+    prune_dl: bool = True,
 ) -> DataFrame:
     """-> (doc_int, score) top-k (plus doc_id when ``docs`` given).
 
     ``blocks``/``dl_blocks`` from compression.build_*; ``terms``/``stats``
     from the IndexTables.  ``query_terms`` are ALREADY analyzed terms.
+
+    ``term_buckets``: when ``blocks`` still carries the serving layout's
+    ``tbucket`` partition column (read_block_index(keep_bucket=True)),
+    the query's buckets are computed INSIDE the same term-stats collect
+    (one Spark job, bit-identical xxhash64) and applied as a partition
+    filter — no separate term_buckets_for round-trip per query.
+
+    ``prune_dl``: semi-join the doc-length blocks on the query's posting
+    block ids.  Without it every dl block of the corpus (N/span rows —
+    ~10^8 at 100 TB) is shuffled into the cogroup and dispatched to the
+    Python kernel per query even though ranges with no query postings
+    return empty; with it the per-query work is proportional to the
+    query's posting footprint, not the corpus.
     """
     spark = blocks.sparkSession
     n, avgdl = stats["n_docs"], float(stats["avgdl"])
     qset = sorted(set(query_terms))
-    trows = terms.filter(F.col("term").isin(qset)).select("term", "df").collect()
+    sel = [F.col("term"), F.col("df")]
+    if term_buckets and "tbucket" in blocks.columns:
+        sel.append(F.pmod(F.xxhash64("term"), F.lit(term_buckets)).cast("int").alias("tb"))
+    trows = terms.filter(F.col("term").isin(qset)).select(*sel).collect()
     if not trows:
         out = spark.createDataFrame([], "doc_int long, score double")
         return out
@@ -152,10 +170,19 @@ def bm25_topk_wand(
     qkey = uuid.uuid4().hex
     kernel = _kernel_factory(term_stats, k, cfg.k1, cfg.b, avgdl, block_span, qkey)
 
-    qb = blocks.filter(F.col("term").isin(list(term_stats)))
+    qb = blocks
+    if "tbucket" in qb.columns:
+        if term_buckets:
+            tbs = sorted({int(r.tb) for r in trows})
+            qb = qb.filter(F.col("tbucket").isin(tbs))
+        qb = qb.drop("tbucket")
+    qb = qb.filter(F.col("term").isin(list(term_stats)))
+    dlq = dl_blocks
+    if prune_dl:
+        dlq = dl_blocks.join(qb.select("block_id").distinct(), "block_id", "leftsemi")
     ranked = (
         qb.groupBy("block_id")
-        .cogroup(dl_blocks.groupBy("block_id"))
+        .cogroup(dlq.groupBy("block_id"))
         .applyInPandas(kernel, "doc_int long, score double")
         .orderBy(F.desc("score"), F.asc("doc_int"))
         .limit(k)

@@ -65,3 +65,44 @@ def test_wand_equals_exhaustive(blocked, spark, query, k):
     assert [d for d, _ in wand] == [d for d, _ in exact]
     for (d1, s1), (d2, s2) in zip(wand, exact):
         assert abs(s1 - s2) <= 1e-9 * max(1.0, abs(s2))
+
+
+def test_wand_dl_side_semijoin_pruned(blocked, spark):
+    """The dl_blocks side of the cogroup must be restricted to the
+    query's posting block ids (a LeftSemi join in the plan) — without it
+    every query shuffles N/span dl rows, corpus-proportional work."""
+    cfg, index, blocks, dl_blocks = blocked
+    qt = analyze_query_terms(spark, "spark join merge", cfg)
+    terms = [r.term for r in qt.collect()]
+    out = bm25_topk_wand(blocks, dl_blocks, index.terms, index.stats,
+                         terms, k=10, cfg=cfg, block_span=SPAN)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftSemi" in plan
+    # and the opt-out really opts out
+    out2 = bm25_topk_wand(blocks, dl_blocks, index.terms, index.stats,
+                          terms, k=10, cfg=cfg, block_span=SPAN, prune_dl=False)
+    assert "LeftSemi" not in out2._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_wand_served_bucket_partition_filter(blocked, spark, tmp_path):
+    """Through the persisted layout with keep_bucket=True + term_buckets,
+    the blocks scan must carry a tbucket PartitionFilter (the pruned
+    serving read path) and results must match the in-memory path."""
+    from information_retrieval_system_spark.index.compression import (
+        read_block_index, write_block_index)
+
+    cfg, index, blocks, dl_blocks = blocked
+    out_dir = str(tmp_path / "layout")
+    write_block_index(blocks, dl_blocks, out_dir, term_buckets=8)
+    b_all, dlb = read_block_index(spark, out_dir, keep_bucket=True)
+    qt = analyze_query_terms(spark, "spark join merge", cfg)
+    terms = [r.term for r in qt.collect()]
+    served = bm25_topk_wand(b_all, dlb, index.terms, index.stats,
+                            terms, k=10, cfg=cfg, block_span=SPAN,
+                            term_buckets=8)
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "tbucket" in plan
+    mem = bm25_topk_wand(blocks, dl_blocks, index.terms, index.stats,
+                         terms, k=10, cfg=cfg, block_span=SPAN)
+    assert [(r.doc_int, round(r.score, 9)) for r in served.collect()] == \
+           [(r.doc_int, round(r.score, 9)) for r in mem.collect()]

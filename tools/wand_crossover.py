@@ -101,14 +101,14 @@ def run_zipf_crossover(spark, n_docs: int, vocab: int, block_span: int = 4096,
     # final mapping join — the compressed layout's one denormalization gap
     wand_docs = None if six.stats.get("int_doc_ids") else six.docs
     # list the layout ONCE (symmetric with six.postings on the exhaustive
-    # side); per-query pruning is the tbucket filter below
+    # side); per-query pruning (tbucket partition filter + dl semi-join)
+    # happens inside bm25_topk_wand — one driver job per query, not two
     b_all, dlb_served = read_block_index(spark, bl_dir, keep_bucket=True)
 
     def wand(Q):
-        bs = term_buckets_for(spark, Q, term_buckets)
-        b = b_all.filter(F.col("tbucket").isin(bs)).drop("tbucket")
-        out = bm25_topk_wand(b, dlb_served, six.terms, six.stats, Q, k=k, cfg=cfg,
-                             block_span=block_span, docs=wand_docs)
+        out = bm25_topk_wand(b_all, dlb_served, six.terms, six.stats, Q, k=k, cfg=cfg,
+                             block_span=block_span, docs=wand_docs,
+                             term_buckets=term_buckets)
         if wand_docs is None:
             out = out.select(F.col("doc_int").alias("doc_id"), "doc_int", "score")
         return out.collect()
