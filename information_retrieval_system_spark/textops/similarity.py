@@ -134,6 +134,24 @@ def ivf_cells(
     )
 
 
+def _probe_cells(cents: DataFrame, query_vec: list[float], n_probe: int) -> list[int]:
+    """Probe selection with the SAME cosine_expr used for cell
+    assignment — one arithmetic path for assignment and probing, so
+    near-tied centroid scores cannot diverge between the two (and the
+    DuckDB oracle's list_dot_product sees identical double math).
+    ``cents(cid, cv)`` is the K-row centroid table."""
+    rows = (
+        cents.select(
+            "cid",
+            cosine_expr(F.col("cv").cast("array<double>"), _query_lit(query_vec)).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.asc("cid"))
+        .limit(n_probe)
+        .collect()
+    )
+    return [r.cid for r in rows]
+
+
 def ivf_cosine_topk(
     emb: DataFrame,
     query_vec: list[float],
@@ -143,23 +161,70 @@ def ivf_cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF-flat approximate top-k: search only the ``n_probe`` cells
-    whose centroids are nearest the query (probe order: cosine DESC,
-    centroid id ASC)."""
-    cents = [(r[0], [float(x) for x in r[1]]) for r in
-             emb.filter(F.col(id_col).isin(centroid_ids))
-                .select(id_col, vec_col).collect()]
-
-    def cos(a: list[float], b: list[float]) -> float:
-        import math
-        num = sum(x * y for x, y in zip(a, b))
-        return num / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
-
-    probes = [cid for cid, _ in sorted(cents, key=lambda c: (-cos(query_vec, c[1]), c[0]))[:n_probe]]
+    """IVF-flat approximate top-k IN ONE SHOT (assignment recomputed):
+    only for ad-hoc use on frames that aren't persisted.  The serving
+    path is write_ivf_index (build once) + ivf_topk_served (probe reads
+    only the probed cell partitions) — at scale a per-query corpus-wide
+    assign pass is the opposite of what IVF is for."""
+    cents = emb.filter(F.col(id_col).isin(centroid_ids)).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+    probes = _probe_cells(cents, query_vec, n_probe)
     cells = ivf_cells(emb, centroid_ids, id_col, vec_col)
     cand = emb.join(cells.filter(F.col("cell").isin(probes)),
                     emb[id_col] == cells["id"], "leftsemi")
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def write_ivf_index(
+    emb: DataFrame,
+    centroid_ids: list[int],
+    out_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """IVF BUILD pass, run once per corpus: assign every vector to its
+    cell and persist the table PARTITIONED BY cell (plus the K-row
+    centroid table).  Probes then read ``n_probe`` partitions instead of
+    re-assigning the corpus per query."""
+    import os
+
+    cells = ivf_cells(emb, centroid_ids, id_col, vec_col)
+    assigned = emb.join(cells, emb[id_col] == cells["id"]).drop("id")
+    (
+        assigned.repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(out_dir, "vectors"))
+    )
+    (
+        emb.filter(F.col(id_col).isin(centroid_ids))
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "centroids"))
+    )
+
+
+def ivf_topk_served(
+    spark,
+    out_dir: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF PROBE over the persisted layout: pick the ``n_probe`` nearest
+    centroids (probe order: cosine DESC, cid ASC), then brute-force
+    cosine within ONLY those cell partitions — the scan carries a
+    ``cell`` PartitionFilter, never a corpus-wide pass."""
+    import os
+
+    cents = spark.read.parquet(os.path.join(out_dir, "centroids"))
+    probes = _probe_cells(cents, query_vec, n_probe)
+    vecs = spark.read.parquet(os.path.join(out_dir, "vectors")).filter(
+        F.col("cell").isin(probes)
+    )
+    return cosine_topk(vecs, query_vec, k, id_col, vec_col)
 
 
 def embedding_near_dup_pairs(

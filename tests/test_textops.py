@@ -141,3 +141,23 @@ def test_quality_and_language(spark):
     assert lid[1] == "en" and lid[2] == "unknown"
     qs = {r.id: r for r in quality.quality_score(df, "text", "doc_id").collect()}
     assert qs[1].score > qs[2].score
+
+
+def test_ivf_served_split_matches_oneshot_and_prunes(spark, tmp_path):
+    """IVF build/probe split: the persisted probe must (a) equal the
+    one-shot path's results and (b) read only the probed cell partitions
+    (a cell PartitionFilter in the scan), never re-assign the corpus."""
+    import math
+
+    rows = [(i, [math.sin(i * 13 + j) for j in range(8)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cids = [1, 2, 3, 4]
+    out_dir = str(tmp_path / "ivf")
+    similarity.write_ivf_index(emb, cids, out_dir)
+    q = rows[9][1]
+    served = similarity.ivf_topk_served(spark, out_dir, q, k=5, n_probe=2)
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    oneshot = similarity.ivf_cosine_topk(emb, q, cids, k=5, n_probe=2)
+    assert [(r.vec_id, round(r.cosine, 9)) for r in served.collect()] == \
+           [(r.vec_id, round(r.cosine, 9)) for r in oneshot.collect()]
