@@ -139,12 +139,97 @@ ORDER BY (0.7 * b.score / z.z + 0.3 * coalesce(p.pagerank, 0) / z.z) DESC, b.doc
 LIMIT {FUSION_K}
 """
 
+def q_batch_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6 fusion over the WHOLE batch query set in ONE plan: per-qid
+    BM25 top-k, then batch_fuse_with_pagerank computes each query's
+    normalizer Z_q inside the plan (per-qid agg + broadcast 1-row
+    avg-pagerank) — the Run_B6 shape (635 queries in the reference,
+    Search_FR.java:994-1098) without per-query driver scalars."""
+    from .entry_batch import BATCH_K, _batch_terms_df
+    from .query.batch import batch_bm25_search
+
+    ix = EQ.get_index(spark, sf_dir)
+    ranks = pagerank(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id"),
+        _edges(spark, sf_dir), _pr_cfg(),
+    )
+    docs_pr = attach_pagerank(ix.docs, ranks)
+    res = batch_bm25_search(ix, _batch_terms_df(spark), k=BATCH_K, cfg=EQ.NOSTEM_CFG)
+    fused = scoring.batch_fuse_with_pagerank(
+        res.select("qid", "doc_id", "score"), docs_pr, EngineConfig()
+    )
+    return fused.select(
+        F.col("qid").cast("long").alias("qid"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _sql_batch_fusion() -> str:
+    # NOT reusing SQL_BATCH_BM25: that oracle rounds scores to 4 decimals
+    # for its own gate, but fusion consumes UNROUNDED BM25 scores
+    from .entry_batch import BATCH_K, _sql_batch_queries
+
+    return f"""
+WITH RECURSIVE
+{EQ.TOKS_CTE.strip().rstrip()},
+post AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM post GROUP BY 1),
+dl AS (SELECT d.doc_id, CAST(coalesce(t.dl, 0) AS DOUBLE) AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1) t USING (doc_id)),
+stats AS (SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS nd,
+                 CAST((SELECT count(*) FROM toks) // (SELECT count(*) FROM documents) AS DOUBLE) AS avgdl),
+q AS (SELECT qid, term FROM {_sql_batch_queries()}),
+scored AS (
+  SELECT q.qid, p.doc_id,
+         (ln((s.nd - f.df + 0.5) / (f.df + 0.5)) / ln(2))
+           * p.tf * ({EQ.K1} + 1)
+           / (p.tf + {EQ.K1} * (1 - {EQ.B} + {EQ.B} * d.dl / s.avgdl)) AS ts
+  FROM post p JOIN q USING (term) JOIN dft f USING (term)
+  JOIN dl d USING (doc_id) CROSS JOIN stats s
+),
+agg AS (SELECT qid, doc_id, sum(ts) AS score FROM scored GROUP BY 1, 2),
+rk AS (
+  SELECT qid, doc_id, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rank
+  FROM agg
+),
+results AS (SELECT qid, doc_id, score FROM rk WHERE rank <= {BATCH_K}),
+{EDGES_CTE.strip().rstrip()},
+pr(iter, id, rank) AS (
+  SELECT 0, doc_id, 1.0 / (SELECT n FROM n) FROM documents
+  UNION ALL
+  SELECT p.iter + 1, p.id,
+         coalesce((SELECT sum(p2.rank / d.outdeg)
+                   FROM pr p2
+                   JOIN edges e ON e.src = p2.id AND p2.iter = p.iter
+                   JOIN deg d ON d.src = p2.id
+                   WHERE e.dst = p.id), p.rank)
+  FROM pr p WHERE p.iter < {PR_ITERS}
+),
+prf AS (SELECT id AS doc_id, rank AS pagerank FROM pr WHERE iter = {PR_ITERS}),
+avgpr AS (SELECT avg(pagerank) AS avg_pr FROM prf),
+perq AS (SELECT qid, avg(score) AS avg_s FROM results GROUP BY qid),
+z AS (
+  SELECT p.qid,
+         CASE WHEN sqrt(a.avg_pr*a.avg_pr + p.avg_s*p.avg_s) = 0 THEN 1.0
+              ELSE sqrt(a.avg_pr*a.avg_pr + p.avg_s*p.avg_s) END AS z
+  FROM perq p CROSS JOIN avgpr a
+)
+SELECT CAST(r.qid AS BIGINT) AS qid, CAST(r.doc_id AS BIGINT) AS doc_id,
+       round(0.7 * r.score / z.z + 0.3 * coalesce(p.pagerank, 0) / z.z, 6) AS score
+FROM results r LEFT JOIN prf p USING (doc_id) JOIN z USING (qid)
+"""
+
+
 GRAPH_QUERIES = {
     "pagerank": q_pagerank,
     "fusion_topk": q_fusion_topk,
+    "batch_fusion": q_batch_fusion,
 }
 
 GRAPH_ORACLES = {
     "pagerank": SQL_PAGERANK,
     "fusion_topk": SQL_FUSION_TOPK,
+    "batch_fusion": _sql_batch_fusion(),
 }

@@ -147,29 +147,56 @@ def existential_search(
     )
 
 
+def batch_fuse_with_pagerank(
+    ranked: DataFrame,
+    docs: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """B6 fusion for a (qid, doc_id, score) BATCH: the normalizer
+    ``Z_q = sqrt(avg_pr² + avg_score_q²)`` is computed per qid INSIDE
+    the plan — one per-qid agg + one global 1-row agg, both joined back
+    broadcast — so the reference's 635-query Run_B6 shape fuses in one
+    pass with zero driver round-trips (vs two collects per query).
+    -> (qid, doc_id, score), unordered (callers rank per qid)."""
+    avg_pr = docs.agg(F.coalesce(F.avg("pagerank"), F.lit(0.0)).alias("_avg_pr"))
+    per_q = ranked.groupBy("qid").agg(
+        F.coalesce(F.avg("score"), F.lit(0.0)).alias("_avg_s")
+    )
+    zq = per_q.crossJoin(F.broadcast(avg_pr)).select(
+        "qid",
+        F.when(
+            F.sqrt(F.col("_avg_pr") * F.col("_avg_pr") + F.col("_avg_s") * F.col("_avg_s")) == 0,
+            F.lit(1.0),
+        )
+        .otherwise(F.sqrt(F.col("_avg_pr") * F.col("_avg_pr") + F.col("_avg_s") * F.col("_avg_s")))
+        .alias("_z"),
+    )
+    out = (
+        ranked.join(docs.select("doc_id", "pagerank"), "doc_id", "left")
+        .fillna({"pagerank": 0.0})
+        .join(F.broadcast(zq), "qid")
+    )
+    return out.select(
+        "qid",
+        "doc_id",
+        (
+            F.lit(cfg.model_weight) * F.col("score") / F.col("_z")
+            + F.lit(cfg.pagerank_weight) * F.col("pagerank") / F.col("_z")
+        ).alias("score"),
+    )
+
+
 def fuse_with_pagerank(
     ranked: DataFrame,
     docs: DataFrame,
     cfg: EngineConfig = DEFAULT_CONFIG,
 ) -> DataFrame:
-    """B6 fusion (fixed semantics — see module docstring)."""
-    avg_pr = docs.agg(F.avg("pagerank")).collect()[0][0] or 0.0
-    avg_s = ranked.agg(F.avg("score")).collect()[0][0] or 0.0
-    z = math.sqrt(avg_pr * avg_pr + avg_s * avg_s)
-    if z == 0.0:
-        z = 1.0
-    out = ranked.join(docs.select("doc_id", "pagerank"), "doc_id", "left").fillna(
-        {"pagerank": 0.0}
+    """B6 fusion (fixed semantics — see module docstring).  Single-query
+    form of batch_fuse_with_pagerank — same in-plan Z, no collects."""
+    fused = batch_fuse_with_pagerank(
+        ranked.select(F.lit(0).alias("qid"), "doc_id", "score"), docs, cfg
     )
-    return (
-        out.withColumn(
-            "score",
-            F.lit(cfg.model_weight) * F.col("score") / F.lit(z)
-            + F.lit(cfg.pagerank_weight) * F.col("pagerank") / F.lit(z),
-        )
-        .select("doc_id", "score")
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-    )
+    return fused.select("doc_id", "score").orderBy(F.desc("score"), F.asc("doc_id"))
 
 
 MODELS = {
