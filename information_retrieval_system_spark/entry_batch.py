@@ -249,6 +249,94 @@ LIMIT {EQ.TOPK}
 """
 
 
+# --- derived antonym dictionary (R6) ----------------------------------------
+
+#: extends NEIGHBORS_CTE: the antonym-analog is the LEAST-cosine
+#: co-occurring term per term (contrast with observable support),
+#: tie-break (sim ASC, term ASC) — mirror of expansion.derive_term_antonyms
+ANTONYM_CTE = f"""
+{NEIGHBORS_CTE.strip().rstrip()},
+anb AS (
+  SELECT term_a AS term, term_b AS expansion, sim,
+         row_number() OVER (PARTITION BY term_a ORDER BY sim ASC, term_b ASC) AS rn
+  FROM sims
+)
+"""
+
+ANTONYM_WEIGHT = -1.5
+
+
+def q_term_antonyms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The derived antonym dictionary itself, graded."""
+    from .query.expansion import derive_term_antonyms
+
+    ix = EQ.get_index(spark, sf_dir)
+    out = derive_term_antonyms(ix.postings, k=1, weight=ANTONYM_WEIGHT)
+    return out.select("term", "expansion", "weight", F.round("sim", 4).alias("sim"))
+
+
+SQL_TERM_ANTONYMS = f"""
+WITH {EQ.TOKS_CTE},
+{ANTONYM_CTE}
+SELECT term, expansion, CAST({ANTONYM_WEIGHT} AS DOUBLE) AS weight,
+       round(sim, 4) AS sim
+FROM anb WHERE rn <= 1
+"""
+
+
+def q_antonym_vsm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6 end-to-end with the DERIVED antonym dictionary: each query
+    term's most-contrastive co-occurring term joins the query at the
+    reference's antonym weight -1.5 (Search_FR.java:447-623), observable
+    through VSM scores as negative qtf rows."""
+    from .query.expansion import derive_term_antonyms
+
+    ix = EQ.get_index(spark, sf_dir)
+    ant = derive_term_antonyms(ix.postings, k=1, weight=ANTONYM_WEIGHT).select(
+        "term", "expansion", "weight")
+    qt = expand_query_terms(EQ.query_terms_df(spark), ant, expansion_weight=1.0)
+    res = scoring.vsm_search(ix, qt, k=EQ.TOPK, cfg=EQ.NOSTEM_CFG)
+    return res.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      F.round("score", 4).alias("score"))
+
+
+SQL_ANTONYM_VSM = f"""
+WITH {EQ.TOKS_CTE},
+{ANTONYM_CTE},
+dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM post GROUP BY 1),
+stats AS (SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n),
+norms AS (
+  SELECT p.doc_id,
+         sum(pow(p.tf * ln(floor((s.n + 1) / f.df)) / ln(2), 2)) AS norm2
+  FROM post p JOIN dft f USING (term) CROSS JOIN stats s
+  GROUP BY p.doc_id
+),
+base AS (SELECT unnest({EQ._sql_terms_list()}) AS term, 1.0 AS qtf),
+extra AS (SELECT ab.expansion AS term, b.qtf * {ANTONYM_WEIGHT} * 1.0 AS qtf
+          FROM base b JOIN anb ab ON ab.term = b.term AND ab.rn <= 1),
+qterms AS (
+  SELECT term, sum(qtf) AS qtf FROM (
+    SELECT term, qtf FROM base UNION ALL SELECT term, qtf FROM extra)
+  GROUP BY term
+),
+qw AS (SELECT q.term, q.qtf * ln(s.n / f.df) / ln(2) AS w_q
+       FROM qterms q JOIN dft f USING (term) CROSS JOIN stats s),
+qnorm AS (SELECT sum(w_q * w_q) AS q_norm2 FROM qw),
+dots2 AS (
+  SELECT p.doc_id, sum(p.tf * (ln(s.n / f.df) / ln(2)) * w.w_q) AS dot
+  FROM post p JOIN qw w USING (term) JOIN dft f USING (term) CROSS JOIN stats s
+  GROUP BY p.doc_id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       round(CASE WHEN n.norm2 > 0 AND qn.q_norm2 > 0
+                  THEN d.dot / sqrt(n.norm2 * qn.q_norm2) ELSE 0 END, 4) AS score
+FROM dots2 d JOIN norms n USING (doc_id) CROSS JOIN qnorm qn
+ORDER BY (CASE WHEN n.norm2 > 0 AND qn.q_norm2 > 0
+               THEN d.dot / sqrt(n.norm2 * qn.q_norm2) ELSE 0 END) DESC, d.doc_id ASC
+LIMIT {EQ.TOPK}
+"""
+
+
 _BLOCK_CACHE: dict[str, tuple] = {}
 
 
@@ -332,6 +420,8 @@ BATCH_QUERIES_REG = {
     "expanded_vsm": q_expanded_bm25,
     "term_neighbors": q_term_neighbors,
     "glove_vsm_topk": q_glove_vsm_topk,
+    "term_antonyms": q_term_antonyms,
+    "antonym_vsm_topk": q_antonym_vsm_topk,
     "wand_topk": q_wand_topk,
 }
 
@@ -342,5 +432,7 @@ BATCH_ORACLES = {
     "expanded_vsm": SQL_EXPANDED_BM25,
     "term_neighbors": SQL_TERM_NEIGHBORS,
     "glove_vsm_topk": SQL_GLOVE_VSM,
+    "term_antonyms": SQL_TERM_ANTONYMS,
+    "antonym_vsm_topk": SQL_ANTONYM_VSM,
     "wand_topk": EQ.SQL_BM25_TOPK,
 }
