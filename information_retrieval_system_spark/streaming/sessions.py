@@ -58,11 +58,24 @@ def sessionize_batch(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
     )
 
 
-def _session_state_fn(gap_sec: int):
+_SESSION_COLS = ["user_id", "session_start_us", "session_end_us",
+                 "n_events", "sum_value"]
+
+
+def _session_state_fn(gap_sec: int, event_timeout: bool):
     gap_us = gap_sec * 1_000_000
 
     def fn(key: tuple, pdfs: Iterable[pd.DataFrame], state: Any) -> Iterator[pd.DataFrame]:
         (user_id,) = key
+        if event_timeout and state.hasTimedOut:
+            # watermark passed last_event + gap with no new data: the
+            # open session is CLOSED by timeout and its state dropped —
+            # per-key state stays bounded by activity, not corpus age
+            start_us, last_us, n, s = state.get
+            state.remove()
+            yield pd.DataFrame([(user_id, start_us, last_us, n, s)],
+                               columns=_SESSION_COLS)
+            return
         if state.exists:
             start_us, last_us, n, s = state.get
         else:
@@ -84,30 +97,43 @@ def _session_state_fn(gap_sec: int):
                 n += 1
                 s += float(v)
         state.update((start_us, last_us, n, s))
+        if event_timeout:
+            # fire when the EVENT-TIME watermark passes the session gap;
+            # must stay above the current watermark or Spark rejects it
+            to_ms = max(last_us // 1000 + gap_sec * 1000,
+                        state.getCurrentWatermarkMs() + 1)
+            state.setTimeoutTimestamp(to_ms)
         if out:
-            yield pd.DataFrame(
-                out,
-                columns=["user_id", "session_start_us", "session_end_us",
-                         "n_events", "sum_value"],
-            )
+            yield pd.DataFrame(out, columns=_SESSION_COLS)
 
     return fn
 
 
-def sessionize_stream(events_stream: DataFrame, gap_sec: int = 1800):
+def sessionize_stream(events_stream: DataFrame, gap_sec: int = 1800,
+                      timeout: str = "none"):
     """Streaming sessionization over a stream with (event_id, ts,
     user_id, value): emits each session WHEN a later event of the same
-    user closes it.  State per user = the open session (GroupStateTimeout
-    omitted: the drain test closes sessions with follow-up events)."""
+    user closes it.
+
+    ``timeout="event"``: the input stream must carry a watermark on
+    ``ts`` (``events_stream.withWatermark("ts", ...)``); an open session
+    whose last event falls ``gap_sec`` behind the watermark is emitted
+    by EventTimeTimeout and its state removed.  Without a timeout an
+    idle user's open session lives forever — at 100 TB that unbounded
+    per-key state is a leak, so "event" is what production runs."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    if timeout not in ("none", "event"):
+        raise ValueError(f"unknown timeout mode {timeout!r}")
+    conf = (GroupStateTimeout.EventTimeTimeout if timeout == "event"
+            else GroupStateTimeout.NoTimeout)
     return (
         events_stream.groupBy("user_id")
         .applyInPandasWithState(
-            _session_state_fn(gap_sec),
+            _session_state_fn(gap_sec, timeout == "event"),
             outputStructType=SESSION_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=conf,
         )
     )

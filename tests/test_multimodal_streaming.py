@@ -164,3 +164,57 @@ def test_stream_sessionization_matches_batch_closed_sessions(spark, tmp_path):
     }
     assert streamed == expected
     assert len(expected) > 0
+
+
+def test_stream_sessionization_event_time_timeout(spark, tmp_path):
+    """EventTimeTimeout closes an idle user's open session once the
+    watermark passes last_event + gap, and removes its state — bounded
+    state for users who simply stop sending events."""
+    import time as _time
+    from datetime import datetime, timezone
+
+    from pyspark.sql import functions as F
+
+    from information_retrieval_system_spark.streaming.sessions import (
+        SESSION_SCHEMA, sessionize_stream)
+
+    def ts(h, m, s):
+        return datetime(2024, 1, 1, h, m, s, tzinfo=timezone.utc)
+
+    in_dir = str(tmp_path / "in")
+    batches = [
+        [(1, ts(10, 0, 0), 1, 1.0), (2, ts(10, 0, 5), 1, 2.0)],   # user 1, then idle
+        [(3, ts(14, 0, 0), 2, 3.0)],                               # watermark -> 10:00:05
+        [(4, ts(14, 0, 1), 2, 4.0)],                               # watermark -> 14:00:00
+    ]
+    for rows in batches:
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, value double"
+        ).coalesce(1).write.mode("append").parquet(in_dir)
+        _time.sleep(1.1)  # distinct mtimes: file source replays in this order
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+        .withWatermark("ts", "0 seconds")
+    )
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        sessionize_stream(stream, gap_sec=600, timeout="event")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "stream did not drain"
+
+    got = {(r.user_id, r.session_start_us, r.session_end_us, r.n_events, r.sum_value)
+           for r in spark.read.schema(SESSION_SCHEMA).parquet(out_dir).collect()}
+    us = lambda h, m, s: int(ts(h, m, s).timestamp()) * 1_000_000
+    # user 1's session was emitted BY TIMEOUT (no later user-1 event closed it)
+    assert (1, us(10, 0, 0), us(10, 0, 5), 2, 3.0) in got
+    # user 2's session is still open when the stream drains: not emitted
+    assert all(u != 2 for (u, *_ ) in got)
