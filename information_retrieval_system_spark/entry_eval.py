@@ -128,9 +128,12 @@ def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "day", "event_type", "n_events",
             (F.col("_c") / F.lit(100.0)).alias("sum_value"),
-            # half-up round of (cents*100 / n) at 4 decimals, in integers
-            (F.expr("(_c * 200 + n_events) div (2 * n_events)") / F.lit(10000.0))
-            .alias("avg_value"),
+            # half-up round of (cents*100 / n) at 4 decimals, in integers;
+            # SIGN-SAFE: computed on abs then re-signed, because Spark's
+            # `div` truncates toward zero while DuckDB's `//` floors —
+            # they agree only on non-negative operands
+            (F.expr("sign(_c) * ((abs(_c) * 200 + n_events) div (2 * n_events))")
+             / F.lit(10000.0)).alias("avg_value"),
         )
     )
 
@@ -144,7 +147,7 @@ WITH g AS (
 )
 SELECT day, event_type, n_events,
        c / 100.0 AS sum_value,
-       ((c * 200 + n_events) // (2 * n_events)) / 10000.0 AS avg_value
+       sign(c) * ((abs(c) * 200 + n_events) // (2 * n_events)) / 10000.0 AS avg_value
 FROM g
 """
 

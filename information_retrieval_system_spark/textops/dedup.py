@@ -94,6 +94,20 @@ def dropped_shingles(sh: DataFrame, max_shingle_df: int) -> DataFrame:
     )
 
 
+def _warn_dropped_shingles(op: str, sh: DataFrame, max_shingle_df: int) -> None:
+    """Audit count for the df cap: WARN when it actually bound (reported
+    jaccard becomes a lower bound and pairs can be silently lost)."""
+    nd = dropped_shingles(sh, max_shingle_df).count()
+    if nd:
+        log.warning(
+            "%s: max_shingle_df=%d dropped %d shingle(s) — reported "
+            "jaccard is a lower bound for affected pairs",
+            op, max_shingle_df, nd,
+        )
+    else:
+        log.info("%s: max_shingle_df=%d dropped nothing", op, max_shingle_df)
+
+
 def _jaccard_from_inter(inter: DataFrame, sizes: DataFrame, threshold: float) -> DataFrame:
     return (
         inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
@@ -114,18 +128,23 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+    log_drops: bool = False,
 ) -> DataFrame:
     """-> (id_a, id_b, jaccard) for pairs above threshold (id_a < id_b).
 
     Count-based: sizes per doc, intersections from a self-join of the
-    shingle table on shingle.  ``max_shingle_df`` (ON by default) drops
-    shingles shared by more than that many docs before pair generation —
-    without it one boilerplate shingle makes the self-join quadratic in
-    corpus size.  Sizes are computed on the UNCAPPED sets, so the
-    reported jaccard is a (deterministic) lower bound when the cap binds;
-    pass None to disable.  Use :func:`dropped_shingles` to audit what a
-    given cap removes."""
+    shingle table on shingle.  ``max_shingle_df`` (ON by default since
+    r2 — see CHANGELOG) drops shingles shared by more than that many
+    docs before pair generation — without it one boilerplate shingle
+    makes the self-join quadratic in corpus size.  Sizes are computed on
+    the UNCAPPED sets, so the reported jaccard is a (deterministic)
+    lower bound when the cap binds; pass None to disable.
+    ``log_drops`` runs the audit count and WARNS when the cap actually
+    dropped shingles (an extra job — off on the hot path); use
+    :func:`dropped_shingles` for the full audit frame."""
     sh = shingle_table(df, text_col, id_col, n)
+    if log_drops and max_shingle_df is not None:
+        _warn_dropped_shingles("ngram_jaccard_pairs", sh, max_shingle_df)
     sh_p = _capped_shingles(sh, max_shingle_df)
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a = sh_p.select(F.col("id").alias("id_a"), "shingle")
@@ -267,11 +286,16 @@ def minhash_lsh_dedup(
     cand = lsh_candidate_pairs(sigs, bands, rows_per_band, max_bucket_size)
     if log_drops:
         if max_shingle_df is not None:
-            nd = dropped_shingles(sh, max_shingle_df).count()
-            log.info("minhash_lsh_dedup: df cap %d dropped %d shingles", max_shingle_df, nd)
+            _warn_dropped_shingles("minhash_lsh_dedup", sh, max_shingle_df)
         if max_bucket_size is not None:
             nb = oversized_buckets(sigs, bands, rows_per_band, max_bucket_size).count()
-            log.info("minhash_lsh_dedup: bucket cap %d dropped %d buckets", max_bucket_size, nb)
+            if nb:
+                log.warning(
+                    "minhash_lsh_dedup: max_bucket_size=%d dropped %d band "
+                    "bucket(s) — their members' near-dup pairs are NOT "
+                    "reported (exact-dedup them upstream)", max_bucket_size, nb)
+            else:
+                log.info("minhash_lsh_dedup: bucket cap %d dropped nothing", max_bucket_size)
     return jaccard_for_candidate_pairs(cand, sh, threshold, max_shingle_df)
 
 
