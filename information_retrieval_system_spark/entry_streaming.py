@@ -67,5 +67,48 @@ def q_stream_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("cf").cast("long").alias("cf"))
 
 
-STREAMING_QUERIES = {"stream_term_df": q_stream_term_df}
-STREAMING_ORACLES = {"stream_term_df": EQ.SQL_TERM_DF}
+_COMPACTED: dict[str, object] = {}
+
+
+def _compacted_ix(spark: SparkSession, sf_dir: str):
+    """Stream-ingest the corpus, then run the compaction job: deltas ->
+    bucketed serving layout -> read back.  Cached per sf_dir."""
+    if sf_dir not in _COMPACTED:
+        from .streaming.incremental import compact_delta_index
+
+        delta = _stream_out(spark, sf_dir)
+        cdir = os.path.join(os.path.dirname(delta), "compacted")
+        _COMPACTED[sf_dir] = compact_delta_index(spark, delta, cdir, EQ.NOSTEM_CFG)
+    return _COMPACTED[sf_dir]
+
+
+def q_compacted_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction round-trip must be value-invisible: term stats from
+    the COMPACTED bucketed layout against the same batch oracle."""
+    ix = _compacted_ix(spark, sf_dir)
+    return ix.terms.select("term", F.col("df").cast("long").alias("df"),
+                           F.col("cf").cast("long").alias("cf"))
+
+
+def q_compacted_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end: stream ingest -> compaction -> BM25 top-k SERVED FROM
+    the compacted layout, against the batch BM25 oracle."""
+    from .query import scoring
+
+    ix = _compacted_ix(spark, sf_dir)
+    res = scoring.bm25_search(ix, EQ.query_terms_df(spark), k=EQ.TOPK,
+                              cfg=EQ.NOSTEM_CFG)
+    return res.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      F.round("score", 4).alias("score"))
+
+
+STREAMING_QUERIES = {
+    "stream_term_df": q_stream_term_df,
+    "compacted_term_df": q_compacted_term_df,
+    "compacted_bm25": q_compacted_bm25,
+}
+STREAMING_ORACLES = {
+    "stream_term_df": EQ.SQL_TERM_DF,
+    "compacted_term_df": EQ.SQL_TERM_DF,
+    "compacted_bm25": EQ.SQL_BM25_TOPK,
+}

@@ -315,6 +315,42 @@ def _lit_list(vals: list[float]) -> str:
     return "[" + ", ".join(repr(float(v)) for v in vals) + "]"
 
 
+LSH_N_PROBE = 3
+
+
+def q_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH: query bucket + first two Hamming-1 neighbor
+    buckets — the recall knob (result is a superset-candidate rerank of
+    single-probe; at scale the probe set prunes 3 of 2^bits partitions)."""
+    qv = _query_vec(spark, sf_dir)
+    out = similarity.lsh_cosine_topk(_emb(spark, sf_dir), qv, k=EMB_K,
+                                     bits=EMB_BITS, n_probe=LSH_N_PROBE)
+    return out.select(F.col("vec_id").cast("long").alias("vec_id"),
+                      F.round("cosine", 4).alias("cosine"))
+
+
+def _sql_lsh_multiprobe_topk() -> str:
+    """Same literal hyperplanes; probe set = qbucket plus qbucket XOR 1
+    and XOR 2 (the first two Hamming-1 neighbors — multiprobe_buckets)."""
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(e, {_lit_list(p)}) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(_PLANES)
+    )
+    return f"""
+WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+bucketed AS (SELECT vec_id, e, {bucket_terms} AS bucket FROM b),
+q AS (SELECT e AS qv, bucket AS qbucket FROM bucketed WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id,
+         list_dot_product(e, q.qv) / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(q.qv, q.qv))) AS c
+  FROM bucketed CROSS JOIN q
+  WHERE bucket IN (q.qbucket, xor(q.qbucket, 1), xor(q.qbucket, 2))
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, round(c, 4) AS cosine
+FROM scored ORDER BY c DESC, vec_id ASC LIMIT {EMB_K}
+"""
+
+
 IVF_CENTROID_IDS = list(range(1, 9))  # data-point centroids (vec 0 is the query)
 IVF_PROBE = 2
 
@@ -542,6 +578,7 @@ TEXTOPS_QUERIES = {
     "simhash": q_simhash,
     "cosine_topk": q_cosine_topk,
     "lsh_topk": q_lsh_topk,
+    "lsh_multiprobe_topk": q_lsh_multiprobe_topk,
     "ivf_topk": q_ivf_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "language_id": q_language_id,
@@ -559,6 +596,7 @@ TEXTOPS_ORACLES = {
     "simhash": _sql_simhash(),
     "cosine_topk": SQL_COSINE_TOPK,
     "lsh_topk": _sql_lsh_topk(),
+    "lsh_multiprobe_topk": _sql_lsh_multiprobe_topk(),
     "ivf_topk": _sql_ivf_topk(),
     "embedding_near_dup": _sql_emb_near_dup(),
     "language_id": _sql_language_id(),

@@ -83,10 +83,56 @@ def incremental_index_stream(
     return writer.start()
 
 
+def compact_delta_index(spark: SparkSession, delta_dir: str, out_dir: str,
+                        cfg: EngineConfig = DEFAULT_CONFIG):
+    """The periodic COMPACTION job merged_index_view promises: rewrite
+    the accumulated per-batch delta partitions into the bucketed serving
+    layout of index.builder.write_index (term-bucketed postings sorted
+    within partitions, docs with VSM norms, terms, stats.json), and read
+    it back.
+
+    Semantics are identical to a from-scratch batch build over the same
+    documents: per-batch (term, doc) aggregates are disjoint, so the
+    union IS the posting set, df/cf/norms re-derive by one aggregation
+    pass.  Delta doc keys are integers, so ``doc_int == doc_id`` (the
+    builder's int fast path); norms use the builder's floor-idf quirk.
+    At scale this runs on a cadence (or when delta file count crosses a
+    threshold) and serving flips to the compacted snapshot — exactly an
+    Iceberg rewrite-data-files action, expressed on plain parquet."""
+    import math
+
+    from ..index.builder import IndexTables, read_index, write_index
+
+    postings, docs, terms, stats = merged_index_view(spark, delta_dir)
+    p = postings.withColumn("doc_int", F.col("doc_id").cast("long"))
+    n_docs = stats["n_docs"]
+    log2 = math.log(2.0)
+    norm_df = (
+        p.join(F.broadcast(terms.select("term", "df")), "term")
+        .withColumn(
+            "w",
+            F.col("tf") * F.log(F.floor(F.lit(n_docs + 1) / F.col("df")).cast("double")) / F.lit(log2),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("w") * F.col("w")).alias("norm"))
+    )
+    docs_full = (
+        docs.withColumn("doc_int", F.col("doc_id").cast("long"))
+        .join(norm_df, "doc_id", "left")
+        .withColumn("norm", F.coalesce(F.col("norm"), F.lit(0.0)))
+        .withColumn("pagerank", F.lit(0.0))
+    )
+    stats2 = dict(stats)
+    stats2["int_doc_ids"] = True
+    tables = IndexTables(postings=p, docs=docs_full, terms=terms, stats=stats2)
+    write_index(tables, out_dir, cfg)
+    return read_index(spark, out_dir)
+
+
 def merged_index_view(spark: SparkSession, out_dir: str):
     """Union the deltas into queryable postings/docs/terms/stats —
-    the compaction-read path (a periodic job would rewrite this union
-    into the bucketed layout of index.builder.write_index)."""
+    the compaction-read path (compact_delta_index is the periodic job
+    that rewrites this union into the bucketed serving layout)."""
     postings = spark.read.parquet(os.path.join(out_dir, "postings_delta")).drop("batch_id")
     docs = spark.read.parquet(os.path.join(out_dir, "docs_delta")).drop("batch_id")
     terms = postings.groupBy("term").agg(

@@ -77,6 +77,25 @@ def lsh_bucket_expr(vec_col: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def query_bucket(query_vec: list[float], planes: list[list[float]]) -> int:
+    b = 0
+    for i, p in enumerate(planes):
+        if sum(a * b_ for a, b_ in zip(p, query_vec)) >= 0:
+            b |= 1 << i
+    return b
+
+
+def multiprobe_buckets(qbucket: int, bits: int, n_probe: int) -> list[int]:
+    """The query's bucket plus the Hamming-1 neighbors of its FIRST
+    ``n_probe - 1`` hyperplane bits — the standard multi-probe LSH recall
+    knob: near-misses usually differ in exactly one sign bit.  Purely
+    arithmetic (the probe set is a literal in both engines)."""
+    probes = [qbucket]
+    for i in range(min(n_probe - 1, bits)):
+        probes.append(qbucket ^ (1 << i))
+    return probes
+
+
 def lsh_cosine_topk(
     emb: DataFrame,
     query_vec: list[float],
@@ -85,18 +104,19 @@ def lsh_cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 7919,
+    n_probe: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: search only the query's hyperplane bucket.
-    At scale the bucket expression is computed once at ingest and stored
-    as a partition column — the query then prunes partitions."""
+    """Approximate top-k: search the query's hyperplane bucket, plus its
+    first ``n_probe - 1`` Hamming-1 neighbor buckets (multi-probe —
+    recall rises with n_probe at linear extra scan cost, no index
+    change).  At scale the bucket expression is computed once at ingest
+    and stored as a partition column — the probe set then prunes
+    partitions."""
     planes = hyperplanes(len(query_vec), bits, seed)
-    qbucket = 0
-    for i, p in enumerate(planes):
-        if sum(a * b for a, b in zip(p, query_vec)) >= 0:
-            qbucket |= 1 << i
+    probes = multiprobe_buckets(query_bucket(query_vec, planes), bits, n_probe)
     bucketed = emb.withColumn("_bucket", lsh_bucket_expr(F.col(vec_col), planes))
     return cosine_topk(
-        bucketed.filter(F.col("_bucket") == qbucket), query_vec, k, id_col, vec_col
+        bucketed.filter(F.col("_bucket").isin(probes)), query_vec, k, id_col, vec_col
     )
 
 

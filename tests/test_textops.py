@@ -161,3 +161,18 @@ def test_ivf_served_split_matches_oneshot_and_prunes(spark, tmp_path):
     oneshot = similarity.ivf_cosine_topk(emb, q, cids, k=5, n_probe=2)
     assert [(r.vec_id, round(r.cosine, 9)) for r in served.collect()] == \
            [(r.vec_id, round(r.cosine, 9)) for r in oneshot.collect()]
+
+
+def test_lsh_multiprobe_superset(spark):
+    """Multi-probe candidates are a superset of single-probe: recall can
+    only rise with n_probe; probe set = bucket + Hamming-1 neighbors."""
+    import math
+
+    assert similarity.multiprobe_buckets(0b0110, bits=4, n_probe=3) == [6, 7, 4]
+    rows = [(i, [math.sin(i * 13 + j) for j in range(8)]) for i in range(80)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = rows[7][1]
+    single = {r.vec_id for r in similarity.lsh_cosine_topk(emb, q, k=50, bits=3).collect()}
+    multi = {r.vec_id for r in
+             similarity.lsh_cosine_topk(emb, q, k=50, bits=3, n_probe=3).collect()}
+    assert single <= multi and 7 in multi
