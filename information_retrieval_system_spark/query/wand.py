@@ -43,6 +43,14 @@ from ..index.compression import DEFAULT_BLOCK_SPAN, vbyte_decode
 _THRESH: dict[str, list[float]] = {}
 
 
+def _should_prune_dl(df_sum: float, n_docs: int, block_span: int) -> bool:
+    """Prune the dl side only when the query's posting-block footprint
+    (bounded above by Σ df) is well under the corpus block count —
+    otherwise the semi-join moves ~the same rows plus extra stages."""
+    n_blocks = n_docs // block_span + 1
+    return df_sum <= n_blocks / 2
+
+
 def _kernel_factory(term_stats: dict[str, tuple[float, float]], k: int,
                     k1: float, b: float, avgdl: float, span: int, qkey: str):
     """term_stats: term -> (idf, tf_ub_factor) where the block ub is
@@ -127,7 +135,7 @@ def bm25_topk_wand(
     block_span: int = DEFAULT_BLOCK_SPAN,
     docs: DataFrame | None = None,
     term_buckets: int | None = None,
-    prune_dl: bool = True,
+    prune_dl: bool | str = "auto",
 ) -> DataFrame:
     """-> (doc_int, score) top-k (plus doc_id when ``docs`` given).
 
@@ -140,12 +148,18 @@ def bm25_topk_wand(
     (one Spark job, bit-identical xxhash64) and applied as a partition
     filter — no separate term_buckets_for round-trip per query.
 
-    ``prune_dl``: semi-join the doc-length blocks on the query's posting
-    block ids.  Without it every dl block of the corpus (N/span rows —
-    ~10^8 at 100 TB) is shuffled into the cogroup and dispatched to the
-    Python kernel per query even though ranges with no query postings
-    return empty; with it the per-query work is proportional to the
-    query's posting footprint, not the corpus.
+    ``prune_dl``: restrict the doc-length blocks to the query's posting
+    block ids (broadcast semi-join).  Without it every dl block of the
+    corpus (N/span rows — ~10^8 at 100 TB) is shuffled into the cogroup
+    and dispatched to the Python kernel per query even though ranges
+    with no query postings return empty; with it the per-query work is
+    proportional to the query's posting footprint.  ``"auto"`` (default)
+    decides from the term dfs already collected: a term's posting
+    blocks are at most its df, so ``Σ df`` bounds the pruned set — when
+    that bound isn't well under the corpus's block count the query
+    touches (nearly) every block and the semi-join stages are pure
+    overhead, so the full dl scan is kept (measured: a mid-frequency
+    3-term query at 600k docs lost 2× to the unconditional semi-join).
     """
     spark = blocks.sparkSession
     n, avgdl = stats["n_docs"], float(stats["avgdl"])
@@ -177,9 +191,16 @@ def bm25_topk_wand(
             qb = qb.filter(F.col("tbucket").isin(tbs))
         qb = qb.drop("tbucket")
     qb = qb.filter(F.col("term").isin(list(term_stats)))
+    if prune_dl == "auto":
+        df_sum = sum(float(r.df) for r in trows)
+        prune_dl = _should_prune_dl(df_sum, n, block_span)
     dlq = dl_blocks
     if prune_dl:
-        dlq = dl_blocks.join(qb.select("block_id").distinct(), "block_id", "leftsemi")
+        # broadcast hint is safe: under the auto bound the distinct
+        # block-id set is at most Σ df < n_blocks/2 rows
+        dlq = dl_blocks.join(
+            F.broadcast(qb.select("block_id").distinct()), "block_id", "leftsemi"
+        )
     ranked = (
         qb.groupBy("block_id")
         .cogroup(dlq.groupBy("block_id"))

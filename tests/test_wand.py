@@ -68,20 +68,36 @@ def test_wand_equals_exhaustive(blocked, spark, query, k):
 
 
 def test_wand_dl_side_semijoin_pruned(blocked, spark):
-    """The dl_blocks side of the cogroup must be restricted to the
-    query's posting block ids (a LeftSemi join in the plan) — without it
-    every query shuffles N/span dl rows, corpus-proportional work."""
+    """With prune_dl on, the dl_blocks side of the cogroup must be
+    restricted to the query's posting block ids (a LeftSemi join in the
+    plan) — without it every query shuffles N/span dl rows,
+    corpus-proportional work.  Results identical either way."""
     cfg, index, blocks, dl_blocks = blocked
     qt = analyze_query_terms(spark, "spark join merge", cfg)
     terms = [r.term for r in qt.collect()]
     out = bm25_topk_wand(blocks, dl_blocks, index.terms, index.stats,
-                         terms, k=10, cfg=cfg, block_span=SPAN)
+                         terms, k=10, cfg=cfg, block_span=SPAN, prune_dl=True)
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "LeftSemi" in plan
     # and the opt-out really opts out
     out2 = bm25_topk_wand(blocks, dl_blocks, index.terms, index.stats,
                           terms, k=10, cfg=cfg, block_span=SPAN, prune_dl=False)
     assert "LeftSemi" not in out2._jdf.queryExecution().optimizedPlan().toString()
+    assert [(r.doc_int, round(r.score, 9)) for r in out.collect()] == \
+           [(r.doc_int, round(r.score, 9)) for r in out2.collect()]
+
+
+def test_should_prune_dl_auto_bound():
+    """Auto mode prunes only when Σ df bounds the posting-block
+    footprint well under the corpus block count."""
+    from information_retrieval_system_spark.query.wand import _should_prune_dl
+
+    # 1M docs, span 1024 -> 977 blocks: a 3-rare-term query prunes...
+    assert _should_prune_dl(df_sum=300, n_docs=1_000_000, block_span=1024)
+    # ...a head-term query (df ~ every block) does not
+    assert not _should_prune_dl(df_sum=500_000, n_docs=1_000_000, block_span=1024)
+    # boundary: footprint comparable to block count -> overhead, skip
+    assert not _should_prune_dl(df_sum=600, n_docs=1_000_000, block_span=1024)
 
 
 def test_wand_served_bucket_partition_filter(blocked, spark, tmp_path):
