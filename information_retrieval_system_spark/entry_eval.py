@@ -294,6 +294,88 @@ FROM sid GROUP BY user_id, sid
 """
 
 
+# --- temporal joins (as-of / range) -----------------------------------------
+
+def _status_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dimension stream derived from events: every 7th
+    event is a 'status change' (status = event_id % 5); deduped to one
+    change per (user, ts) keeping the max event_id — the same rule the
+    oracle applies, so ASOF tie-breaks are well-defined."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    st = ev.filter(F.col("event_id") % 7 == 0).select(
+        "user_id", "ts", (F.col("event_id") % 5).alias("status"), "event_id"
+    )
+    w = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    return (
+        st.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "ts", "status")
+    )
+
+
+def q_asof_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each event annotated with the user's most
+    recent status change at or before the event (NULL before the
+    first).  One window shuffle, no join node (temporal.asof_join)."""
+    from .temporal import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id"
+    )
+    out = asof_join(ev, _status_changes(spark, sf_dir), on="user_id",
+                    value_cols=["status"])
+    return out.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("status").cast("long").alias("status"),
+    )
+
+
+SQL_ASOF_STATUS = """
+WITH status AS (
+  SELECT user_id, ts, status FROM (
+    SELECT user_id, ts, event_id % 5 AS status,
+           row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_id % 7 = 0) WHERE rn = 1
+)
+SELECT CAST(e.event_id AS BIGINT) AS event_id,
+       CAST(e.user_id AS BIGINT) AS user_id,
+       CAST(s.status AS BIGINT) AS status
+FROM events e ASOF LEFT JOIN status s
+  ON e.user_id = s.user_id AND e.ts >= s.ts
+"""
+
+#: deterministic OVERLAPPING intervals covering the events value range
+RANGE_INTERVALS = [(k, 30.0 * k, 30.0 * k + 45.0) for k in range(17)]
+RANGE_BUCKET_WIDTH = 10.0
+
+
+def q_range_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (lo <= value < hi, overlapping intervals) executed
+    as a bucketized EQUI-join — a hash join on floor(value/width), never
+    a per-row nested-loop interval scan (temporal.range_join_buckets)."""
+    from .temporal import range_join_buckets
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id", "value")
+    iv = spark.createDataFrame(RANGE_INTERVALS, "label long, lo double, hi double")
+    out = range_join_buckets(ev, iv, "value", width=RANGE_BUCKET_WIDTH)
+    return out.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("label").cast("long").alias("label"),
+    )
+
+
+def _sql_range_bucket_join() -> str:
+    rows = ", ".join(f"({k}, {lo}, {hi})" for k, lo, hi in RANGE_INTERVALS)
+    return f"""
+WITH iv AS (SELECT * FROM (VALUES {rows}) t(label, lo, hi))
+SELECT CAST(e.event_id AS BIGINT) AS event_id, CAST(i.label AS BIGINT) AS label
+FROM events e JOIN iv i ON e.value >= i.lo AND e.value < i.hi
+"""
+
+
 EVAL_QUERIES = {
     "sessionization": q_sessionization,
     "eval_metrics": q_eval_metrics,
@@ -301,6 +383,8 @@ EVAL_QUERIES = {
     "rollup_pricing": q_rollup_pricing,
     "revenue_by_nation": q_revenue_by_nation,
     "salted_postings": q_salted_postings,
+    "asof_status": q_asof_status,
+    "range_bucket_join": q_range_bucket_join,
 }
 
 EVAL_ORACLES = {
@@ -310,4 +394,6 @@ EVAL_ORACLES = {
     "rollup_pricing": SQL_ROLLUP_PRICING,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
     "salted_postings": SQL_SALTED_POSTINGS,
+    "asof_status": SQL_ASOF_STATUS,
+    "range_bucket_join": _sql_range_bucket_join(),
 }
