@@ -541,6 +541,99 @@ FROM tokarr
 """
 
 
+# --- statistics / sketch / split layer --------------------------------------
+
+KMV_K = 32
+
+
+def q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles per event_type (percentile ==
+    DuckDB quantile_cont; swap to percentile_approx at 100 TB)."""
+    from .textops.stats import group_quantiles
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = group_quantiles(ev, "value", ["event_type"])
+    return out.select(
+        "event_type",
+        *[F.round(c, 4).alias(c) for c in ("q_25", "q_50", "q_75", "q_90")],
+    )
+
+
+SQL_VALUE_QUANTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.25), 4) AS q_25,
+       round(quantile_cont(value, 0.5), 4) AS q_50,
+       round(quantile_cont(value, 0.75), 4) AS q_75,
+       round(quantile_cont(value, 0.9), 4) AS q_90
+FROM events GROUP BY event_type
+"""
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic KMV distinct-users-per-event-type sketch — the
+    oracle-gateable twin of approx_count_distinct (HLL++)."""
+    from .textops.stats import kmv_distinct
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return kmv_distinct(ev, "user_id", ["event_type"], k=KMV_K)
+
+
+def _sql_kmv_distinct() -> str:
+    h = h60_sql("CAST(user_id AS VARCHAR)")
+    space = float(1 << 60)
+    return f"""
+WITH hashed AS (SELECT DISTINCT event_type, {h} AS h FROM events),
+r AS (SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM hashed),
+g AS (SELECT event_type, count(*) AS n,
+             max(CASE WHEN rn = {KMV_K} THEN h END) AS kth
+      FROM r GROUP BY 1)
+SELECT event_type,
+       CAST(least(n, {KMV_K}) AS BIGINT) AS n_seen_capped,
+       round(CASE WHEN n >= {KMV_K}
+                  THEN {float(KMV_K - 1)} / (kth / {space})
+                  ELSE CAST(n AS DOUBLE) END, 4) AS kmv_estimate
+FROM g
+"""
+
+
+SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-range train/val/test split of the corpus —
+    counts + id checksum per split (any reassignment changes both)."""
+    from .textops.stats import hash_split
+
+    docs = _docs(spark, sf_dir)
+    return (
+        hash_split(docs, "doc_id", SPLIT_WEIGHTS)
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("doc_id").cast("long").alias("id_checksum"))
+    )
+
+
+def _sql_corpus_split() -> str:
+    # identical thresholds to stats.split_expr: int(cum_frac * 2^60)
+    space = float(1 << 60)
+    t_train = int(0.8 * space)
+    t_val = int((0.8 + 0.1) * space)
+    h = h60_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         CASE WHEN {h} < {t_train} THEN 'train'
+              WHEN {h} < {t_val} THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents)
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum
+FROM s GROUP BY split
+"""
+
+
 # --- multimodal binary metadata (payload = utf-8 bytes of text) -----------
 
 def q_blob_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -585,6 +678,9 @@ TEXTOPS_QUERIES = {
     "token_counts": q_token_counts,
     "quality_score": q_quality_score,
     "doc_fingerprint": q_fingerprint,
+    "value_quantiles": q_value_quantiles,
+    "kmv_distinct": q_kmv_distinct,
+    "corpus_split": q_corpus_split,
 }
 
 TEXTOPS_ORACLES = {
@@ -603,4 +699,7 @@ TEXTOPS_ORACLES = {
     "token_counts": SQL_TOKEN_COUNTS,
     "quality_score": _sql_quality_score(),
     "doc_fingerprint": SQL_FINGERPRINT,
+    "value_quantiles": SQL_VALUE_QUANTILES,
+    "kmv_distinct": _sql_kmv_distinct(),
+    "corpus_split": _sql_corpus_split(),
 }

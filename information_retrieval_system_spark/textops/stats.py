@@ -1,0 +1,110 @@
+"""Distribution statistics, distinct-count sketching, and deterministic
+dataset splitting — the statistics layer of a training-data pipeline.
+
+- ``group_quantiles``: exact linear-interpolation quantiles per group
+  (Spark's ``percentile`` — identical interpolation to DuckDB's
+  ``quantile_cont``, verified by the oracle gate).  Exact quantiles
+  shuffle each group's values once; at 100 TB switch the same call site
+  to ``percentile_approx`` (t-digest, mergeable partial aggregates) —
+  the output contract is unchanged.
+- ``kmv_distinct``: K-Minimum-Values distinct-count sketch on the
+  portable 60-bit hash.  DETERMINISTIC (no RNG, no HLL register noise),
+  so the estimate itself is oracle-gateable — the teaching/verification
+  twin of ``approx_count_distinct`` (HLL++), which production uses when
+  cross-engine exactness isn't required.  Estimator: with U the k-th
+  smallest of n >= k distinct hash values scaled to (0,1),
+  E[distinct] = (k-1)/U (Bar-Yossef et al. 2002); below k distinct
+  values the exact count is returned.
+- ``hash_split``: train/validation/test assignment by hash RANGE over a
+  stable key — the reproducible, join-free way to split a corpus that
+  keeps a document's split stable as the corpus grows (no shuffle at
+  all: a pure column expression usable as a partition column).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from .hashing import h60
+
+#: h60 produces values in [0, 2^60)
+H60_SPACE = float(1 << 60)
+
+
+def group_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9),
+) -> DataFrame:
+    """-> one row per group with exact interpolated quantiles q_<pct>."""
+    aggs = [
+        F.expr(f"percentile({value_col}, {q})").alias(f"q_{int(q * 100)}")
+        for q in qs
+    ]
+    return df.groupBy(*group_cols).agg(*aggs)
+
+
+def kmv_distinct(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    k: int = 32,
+) -> DataFrame:
+    """-> (group..., n_exact_or_k, kmv_estimate): per group, the KMV
+    distinct estimate of ``key_col`` (exact when the group has < k
+    distinct keys).
+
+    Shape: distinct (group, hash) -> per-group window rank -> the k-th
+    smallest hash.  The window sorts each group's distinct hashes; at
+    extreme cardinality per group, replace with the mergeable bounded
+    aggregate (keep k smallest per partition, merge) — same estimator,
+    same output."""
+    hashed = (
+        df.select(*group_cols, h60(F.col(key_col).cast("string")).alias("_h"))
+        .distinct()
+    )
+    w = Window.partitionBy(*group_cols).orderBy("_h")
+    ranked = hashed.withColumn("_rn", F.row_number().over(w))
+    per_group = ranked.groupBy(*group_cols).agg(
+        F.count("*").alias("_n"),
+        F.max(F.when(F.col("_rn") == k, F.col("_h"))).alias("_kth"),
+    )
+    est = F.when(
+        F.col("_n") >= k,
+        (F.lit(float(k - 1)) / (F.col("_kth") / F.lit(H60_SPACE))),
+    ).otherwise(F.col("_n").cast("double"))
+    return per_group.select(
+        *group_cols,
+        F.least(F.col("_n"), F.lit(k)).cast("long").alias("n_seen_capped"),
+        F.round(est, 4).alias("kmv_estimate"),
+    )
+
+
+def split_expr(key: Column, weights: dict[str, float]) -> Column:
+    """CASE expression assigning a split label by h60(key) range.
+    ``weights`` = {label: fraction}; fractions must sum to <= 1 (any
+    remainder falls into the LAST label)."""
+    expr = None
+    cum = 0.0
+    labels = list(weights.items())
+    h = h60(key.cast("string"))
+    for label, frac in labels[:-1]:
+        cum += frac
+        cond = h < F.lit(int(cum * H60_SPACE))
+        expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
+    last = labels[-1][0]
+    return (expr.otherwise(F.lit(last)) if expr is not None else F.lit(last)).alias("split")
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """Attach a deterministic ``split`` column (train/val/test by
+    default, 0.8/0.1/0.1).  Pure column expression — rows keep their
+    split forever regardless of corpus growth or partitioning."""
+    if weights is None:
+        weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    return df.withColumn("split", split_expr(F.col(key_col), weights))

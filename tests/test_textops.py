@@ -176,3 +176,30 @@ def test_lsh_multiprobe_superset(spark):
     multi = {r.vec_id for r in
              similarity.lsh_cosine_topk(emb, q, k=50, bits=3, n_probe=3).collect()}
     assert single <= multi and 7 in multi
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    from information_retrieval_system_spark.textops import stats
+
+    ids = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id: r.split for r in stats.hash_split(ids, "doc_id").collect()}
+    b = {r.doc_id: r.split for r in stats.hash_split(ids, "doc_id").collect()}
+    assert a == b  # pure function of the key
+    from collections import Counter
+    c = Counter(a.values())
+    assert abs(c["train"] / 5000 - 0.8) < 0.03
+    assert abs(c["val"] / 5000 - 0.1) < 0.02
+    assert abs(c["test"] / 5000 - 0.1) < 0.02
+
+
+def test_kmv_distinct_estimate_accuracy(spark):
+    from information_retrieval_system_spark.textops import stats
+
+    # group 'big': 3000 distinct keys; group 'small': 10 (exact path)
+    big = spark.range(0, 3000).selectExpr("'big' AS g", "id AS k")
+    small = spark.range(0, 10).selectExpr("'small' AS g", "id + 900000 AS k")
+    out = {r.g: (r.n_seen_capped, r.kmv_estimate)
+           for r in stats.kmv_distinct(big.union(small), "k", ["g"], k=64).collect()}
+    assert out["small"] == (10, 10.0)
+    n, est = out["big"]
+    assert n == 64 and abs(est - 3000) / 3000 < 0.3  # KMV ~1/sqrt(k-2) error
