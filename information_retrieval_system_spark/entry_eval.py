@@ -294,6 +294,51 @@ FROM sid GROUP BY user_id, sid
 """
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 family: selective dim filter -> two fact joins -> top-10
+    by exact-decimal revenue.  The segment/date predicates push into the
+    parquet scans; the broadcast goes to the filtered customer side."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")))
+    res = (
+        F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter((F.col("o_orderdate") < "1998-01-01") & (F.col("l_shipdate") > "1998-01-01"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(rev).alias("_rev"))
+        .orderBy(F.desc("_rev"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+    return res.select(
+        F.col("l_orderkey").cast("long").alias("l_orderkey"),
+        F.round(F.col("_rev").cast("double"), 4).alias("revenue"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+    )
+
+
+SQL_SHIPPING_PRIORITY = """
+SELECT CAST(l.l_orderkey AS BIGINT) AS l_orderkey,
+       round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4) AS revenue,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+  AND l.l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) DESC,
+         l.l_orderkey ASC
+LIMIT 10
+"""
+
+
 # --- temporal joins (as-of / range) -----------------------------------------
 
 def _status_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -385,6 +430,7 @@ EVAL_QUERIES = {
     "salted_postings": q_salted_postings,
     "asof_status": q_asof_status,
     "range_bucket_join": q_range_bucket_join,
+    "shipping_priority": q_shipping_priority,
 }
 
 EVAL_ORACLES = {
@@ -396,4 +442,5 @@ EVAL_ORACLES = {
     "salted_postings": SQL_SALTED_POSTINGS,
     "asof_status": SQL_ASOF_STATUS,
     "range_bucket_join": _sql_range_bucket_join(),
+    "shipping_priority": SQL_SHIPPING_PRIORITY,
 }

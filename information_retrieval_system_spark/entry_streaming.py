@@ -102,13 +102,70 @@ def q_compacted_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("score", 4).alias("score"))
 
 
+def q_stream_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming WINDOWED AGGREGATION graded against the
+    batch tumbling-window oracle: the events table replayed as a
+    multi-file stream, 1-day window(ts) x event_type aggregation with
+    the same exact-integer-cents arithmetic, availableNow drain.
+
+    Output mode is ``complete`` into a memory sink so the final windows
+    (which no watermark has passed when the stream drains) are included
+    — a production deployment uses append + withWatermark into a real
+    sink and accepts that open windows emit later.  Aggregation state
+    is per (window, event_type): bounded, mergeable across batches."""
+    base = os.path.join(tempfile.gettempdir(), "irs_stream_ev",
+                        f"pid{os.getpid()}",
+                        sf_dir.strip("/").replace("/", "_"))
+    shutil.rmtree(base, ignore_errors=True)
+    in_dir = os.path.join(base, "in")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "event_type", "value")
+    ev.repartition(6).write.parquet(in_dir)
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, event_type string, value double")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(in_dir)
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("long")).alias("_c"),
+        )
+    )
+    sink = f"ev_tumbling_{os.getpid()}"
+    q = (
+        agg.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    try:
+        finished = q.awaitTermination(STREAM_TIMEOUT_SEC)
+    finally:
+        q.stop()
+    if not finished:
+        raise RuntimeError("windowed-agg stream did not drain")
+    out = spark.table(sink)
+    return out.select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "n_events",
+        (F.col("_c") / F.lit(100.0)).alias("sum_value"),
+        (F.expr("sign(_c) * ((abs(_c) * 200 + n_events) div (2 * n_events))")
+         / F.lit(10000.0)).alias("avg_value"),
+    )
+
+
 STREAMING_QUERIES = {
     "stream_term_df": q_stream_term_df,
     "compacted_term_df": q_compacted_term_df,
     "compacted_bm25": q_compacted_bm25,
+    "stream_events_tumbling": q_stream_events_tumbling,
 }
+from .entry_eval import SQL_EVENTS_TUMBLING  # noqa: E402  (loaded before this module)
+
 STREAMING_ORACLES = {
     "stream_term_df": EQ.SQL_TERM_DF,
     "compacted_term_df": EQ.SQL_TERM_DF,
     "compacted_bm25": EQ.SQL_BM25_TOPK,
+    "stream_events_tumbling": SQL_EVENTS_TUMBLING,
 }
