@@ -77,3 +77,35 @@ def test_range_join_is_hash_join(spark):
     plan = (range_join_buckets(facts, iv, "v", width=5.0)
             ._jdf.queryExecution().executedPlan().toString())
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    """Cross-check against pandas merge_asof (backward, by-key) on a
+    deterministic many-key fixture including same-timestamp ties."""
+    import pandas as pd
+
+    lrows, rrows = [], []
+    for i in range(400):
+        u = i % 7
+        lrows.append((i, pd.Timestamp("2024-01-01", tz="UTC")
+                      + pd.Timedelta(seconds=(i * 37) % 5000), u))
+        if i % 3 == 0:
+            rrows.append((u, pd.Timestamp("2024-01-01", tz="UTC")
+                          + pd.Timedelta(seconds=(i * 53) % 5000), i))
+    lpd = pd.DataFrame(lrows, columns=["event_id", "ts", "user_id"])
+    rpd = (pd.DataFrame(rrows, columns=["user_id", "ts", "status"])
+           .sort_values(["ts", "status"])
+           .drop_duplicates(["user_id", "ts"], keep="last"))
+    expected = pd.merge_asof(
+        lpd.sort_values("ts"), rpd.sort_values("ts"),
+        on="ts", by="user_id", direction="backward",
+    ).set_index("event_id")["status"].to_dict()
+
+    left = spark.createDataFrame(lpd, "event_id long, ts timestamp, user_id long")
+    right = spark.createDataFrame(rpd, "user_id long, ts timestamp, status long")
+    got = {r.event_id: r.status for r in
+           asof_join(left, right, on="user_id", value_cols=["status"]).collect()}
+    import math
+    norm = {k: (None if (isinstance(v, float) and math.isnan(v)) else int(v))
+            for k, v in expected.items()}
+    assert got == norm
