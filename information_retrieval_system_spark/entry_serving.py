@@ -183,11 +183,44 @@ LIMIT {EQ.TOPK}
 """
 
 
+def q_snapshot_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot lineage EXECUTED: commit the full-corpus index as
+    snapshot v1, then commit a shrunk index (doc_id < 250, a
+    delete/compaction commit) as v2 — and TIME-TRAVEL read v1 term
+    stats with v2 current.  Green means a later commit cannot disturb
+    an earlier snapshot (immutability), gated against the same batch
+    oracle as term_df."""
+    from .index.snapshots import commit_snapshot, read_snapshot, snapshot_lineage
+
+    key = f"snap:{sf_dir}"
+    if key not in _SERVE_CACHE:
+        root = os.path.join(tempfile.gettempdir(), "irs_snapshots", _TMP_TAG,
+                            sf_dir.strip("/").replace("/", "_"))
+        docs = EQ.load_documents(spark, sf_dir)
+        v1 = commit_snapshot(
+            B.build_index(docs, EQ.NOSTEM_CFG, doc_col="doc_id", text_col="text",
+                          with_positions=False),
+            root, EQ.NOSTEM_CFG, operation="initial-build")
+        v2 = commit_snapshot(
+            B.build_index(docs.filter(F.col("doc_id") < 250), EQ.NOSTEM_CFG,
+                          doc_col="doc_id", text_col="text", with_positions=False),
+            root, EQ.NOSTEM_CFG, operation="delete",
+            note="drop doc_id >= 250")
+        lineage = [e["id"] for e in snapshot_lineage(root)]
+        assert lineage == [v2, v1], lineage
+        _SERVE_CACHE[key] = root
+    root = _SERVE_CACHE[key]
+    ix_v1 = read_snapshot(spark, root, snapshot_id=1)
+    return ix_v1.terms.select("term", F.col("df").cast("long").alias("df"),
+                              F.col("cf").cast("long").alias("cf"))
+
+
 SERVING_QUERIES = {
     "bm25_served": q_bm25_served,
     "wand_served": q_wand_served,
     "bm25_full": q_bm25_full,
     "code_bm25": q_code_bm25,
+    "snapshot_term_df": q_snapshot_term_df,
 }
 
 SERVING_ORACLES = {
@@ -195,4 +228,5 @@ SERVING_ORACLES = {
     "wand_served": EQ.SQL_BM25_TOPK,
     "bm25_full": SQL_BM25_FULL,
     "code_bm25": SQL_CODE_BM25,
+    "snapshot_term_df": EQ.SQL_TERM_DF,
 }

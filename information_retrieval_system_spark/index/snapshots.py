@@ -1,0 +1,115 @@
+"""Snapshot log + time-travel reads over the bucketed index layout —
+the Iceberg metadata pattern EXECUTED on plain parquet (this sandbox
+has no Iceberg jars; each piece maps 1:1 to its Iceberg analog and the
+call sites would swap to real Iceberg commits unchanged):
+
+- ``snapshots.json``  <->  table ``metadata.json`` + snapshot list
+- ``v<N>/`` immutable snapshot dir  <->  a snapshot's manifest/data set
+- ``commit_snapshot``  <->  an append/rewrite commit (new snapshot id,
+  parent pointer, operation tag)
+- ``read_snapshot(root, snapshot_id=K)``  <->  time travel
+  (``VERSION AS OF K``)
+- atomic ``os.replace`` of the log  <->  the catalog's atomic metadata
+  pointer swap: a writer never mutates an existing ``v<N>`` directory,
+  so concurrent readers of any older snapshot are unaffected.
+
+Lineage is the parent chain; per-snapshot ``note``/``operation`` record
+WHY a snapshot exists (initial build, streaming compaction, delete,
+re-crawl) — the audit trail a production index needs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import SparkSession
+
+from ..config import DEFAULT_CONFIG, EngineConfig
+from .builder import IndexTables, read_index, write_index
+
+
+def _log_path(root: str) -> str:
+    return os.path.join(root, "snapshots.json")
+
+
+def snapshot_log(root: str) -> list[dict]:
+    p = _log_path(root)
+    if not os.path.exists(p):
+        return []
+    with open(p) as f:
+        return json.load(f)
+
+
+def current_snapshot_id(root: str) -> int | None:
+    log = snapshot_log(root)
+    return log[-1]["id"] if log else None
+
+
+def commit_snapshot(
+    tables: IndexTables,
+    root: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    operation: str = "append",
+    note: str = "",
+    parent: int | None = None,
+) -> int:
+    """Write the tables as a NEW immutable snapshot and append it to the
+    log (atomic pointer swap).  Returns the new snapshot id."""
+    os.makedirs(root, exist_ok=True)
+    log = snapshot_log(root)
+    sid = (max(e["id"] for e in log) + 1) if log else 1
+    if parent is None:
+        parent = log[-1]["id"] if log else None
+    sdir = os.path.join(root, f"v{sid}")
+    if os.path.exists(sdir):
+        raise RuntimeError(f"snapshot dir {sdir} already exists — snapshots are immutable")
+    write_index(tables, sdir, cfg)
+    entry = {
+        "id": sid,
+        "parent": parent,
+        "operation": operation,
+        "note": note,
+        "n_docs": tables.stats.get("n_docs"),
+        "n_postings": tables.stats.get("n_postings"),
+        "dir": f"v{sid}",
+    }
+    tmp = _log_path(root) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(log + [entry], f, indent=2)
+    os.replace(tmp, _log_path(root))
+    return sid
+
+
+def read_snapshot(
+    spark: SparkSession, root: str, snapshot_id: int | None = None
+) -> IndexTables:
+    """Time-travel read: ``snapshot_id=None`` reads the current snapshot,
+    any earlier id reads that version byte-for-byte (its directory is
+    never rewritten by later commits)."""
+    log = snapshot_log(root)
+    if not log:
+        raise FileNotFoundError(f"no snapshots at {root}")
+    if snapshot_id is None:
+        entry = log[-1]
+    else:
+        matches = [e for e in log if e["id"] == snapshot_id]
+        if not matches:
+            raise KeyError(f"snapshot {snapshot_id} not in log {[e['id'] for e in log]}")
+        entry = matches[0]
+    return read_index(spark, os.path.join(root, entry["dir"]))
+
+
+def snapshot_lineage(root: str, snapshot_id: int | None = None) -> list[dict]:
+    """Walk the parent chain from ``snapshot_id`` (default: current)
+    back to the initial snapshot — newest first."""
+    log = {e["id"]: e for e in snapshot_log(root)}
+    if not log:
+        return []
+    sid = snapshot_id if snapshot_id is not None else max(log)
+    chain = []
+    while sid is not None:
+        e = log[sid]
+        chain.append(e)
+        sid = e["parent"]
+    return chain

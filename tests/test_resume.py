@@ -69,3 +69,51 @@ def test_fingerprint_detects_content_change(spark):
     # order-insensitive: same rows, different order -> same fingerprint
     c = spark.createDataFrame([(2, "beta"), (1, "alpha")], "doc_id long, text string")
     assert corpus_fingerprint(c, "doc_id", "text") == fa
+
+
+def test_snapshot_time_travel_and_lineage(spark, tmp_path):
+    """A later commit never disturbs an earlier snapshot; lineage walks
+    the parent chain; snapshot dirs are immutable."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from information_retrieval_system_spark.config import EngineConfig
+    from information_retrieval_system_spark.index.builder import build_index
+    from information_retrieval_system_spark.index.snapshots import (
+        commit_snapshot, current_snapshot_id, read_snapshot, snapshot_lineage)
+
+    cfg = EngineConfig(use_stopwords=False, use_stemmer=False)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    root = str(tmp_path / "snaps")
+
+    v1 = commit_snapshot(
+        build_index(docs, cfg, doc_col="doc_id", text_col="text",
+                    with_positions=False),
+        root, cfg, operation="initial-build")
+    before = sorted((r.term, r.df) for r in read_snapshot(spark, root, v1).terms.collect())
+
+    v2 = commit_snapshot(
+        build_index(docs.filter(F.col("doc_id") < 100), cfg, doc_col="doc_id",
+                    text_col="text", with_positions=False),
+        root, cfg, operation="delete", note="drop doc_id >= 100")
+
+    assert current_snapshot_id(root) == v2
+    # time travel: v1 is byte-identical after the v2 commit
+    after = sorted((r.term, r.df) for r in read_snapshot(spark, root, v1).terms.collect())
+    assert after == before
+    # current read is the shrunk index
+    cur = read_snapshot(spark, root)
+    assert cur.stats["n_docs"] == 100
+    # lineage newest-first, parent chain intact
+    chain = snapshot_lineage(root)
+    assert [(e["id"], e["parent"], e["operation"]) for e in chain] == [
+        (v2, v1, "delete"), (v1, None, "initial-build")]
+    # immutability: re-committing onto an existing vN dir is refused
+    import os, json
+    log_p = os.path.join(root, "snapshots.json")
+    log = json.load(open(log_p))
+    log[-1]["id"] = v1  # forge a log that would target v1's dir
+    json.dump(log[:-1], open(log_p, "w"))  # roll log back to just v1
+    with pytest.raises(RuntimeError):
+        # next id would be v2 again, whose directory already exists
+        commit_snapshot(cur, root, cfg, operation="append")
