@@ -246,6 +246,49 @@ SELECT CAST(id AS BIGINT) AS id, CAST({fp} AS BIGINT) AS simhash FROM bits
 """
 
 
+SIMHASH_MAX_HAMMING = 2
+
+
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-banded SimHash near-dup: pigeonhole band blocking + xor
+    popcount verify — never an all-pairs scan.  Oracle computes the
+    same pair set by brute force; equality of the banded plan with the
+    exhaustive definition is exactly the gate."""
+    out = dedup.simhash_near_dup_pairs(
+        _docs(spark, sf_dir), "text", "doc_id",
+        bits=SIMHASH_BITS, max_hamming=SIMHASH_MAX_HAMMING,
+    )
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("hamming").cast("long").alias("hamming"),
+    )
+
+
+def _sql_simhash_near_dup() -> str:
+    h = h60_sql("tok")
+    sums = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN tf ELSE -tf END) AS s_{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(f"(CASE WHEN s_{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS))
+    return f"""
+WITH {TOKARR_CTE},
+tf AS (
+  SELECT doc_id AS id, tok, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM tokarr)
+  GROUP BY 1, 2
+),
+hashed AS (SELECT id, tf, {h} AS h FROM tf),
+bits AS (SELECT id, {sums} FROM hashed GROUP BY id),
+fps AS (SELECT id, CAST({fp} AS BIGINT) AS sh FROM bits)
+SELECT CAST(a.id AS BIGINT) AS id_a, CAST(b.id AS BIGINT) AS id_b,
+       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+FROM fps a JOIN fps b ON a.id < b.id
+WHERE bit_count(xor(a.sh, b.sh)) <= {SIMHASH_MAX_HAMMING}
+"""
+
+
 # --- embedding cosine top-k ------------------------------------------------
 
 _QVEC_CACHE: dict[str, list[float]] = {}
@@ -669,6 +712,7 @@ TEXTOPS_QUERIES = {
     "minhash_signatures": q_minhash_signatures,
     "minhash_lsh_dedup": q_minhash_lsh_dedup,
     "simhash": q_simhash,
+    "simhash_near_dup": q_simhash_near_dup,
     "cosine_topk": q_cosine_topk,
     "lsh_topk": q_lsh_topk,
     "lsh_multiprobe_topk": q_lsh_multiprobe_topk,
@@ -690,6 +734,7 @@ TEXTOPS_ORACLES = {
     "minhash_signatures": _sql_minhash(),
     "minhash_lsh_dedup": _sql_minhash_lsh_dedup(),
     "simhash": _sql_simhash(),
+    "simhash_near_dup": _sql_simhash_near_dup(),
     "cosine_topk": SQL_COSINE_TOPK,
     "lsh_topk": _sql_lsh_topk(),
     "lsh_multiprobe_topk": _sql_lsh_multiprobe_topk(),

@@ -326,6 +326,69 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 60) -> DataFr
     return bit_sums.select("id", fp.alias("simhash"))
 
 
+def _simhash_band_bounds(bits: int, n_bands: int) -> list[tuple[int, int]]:
+    """(shift, width) per band; earlier bands get the base width, the
+    last band absorbs the remainder — deterministic, mirrored in SQL."""
+    w = bits // n_bands
+    bounds = []
+    for b in range(n_bands):
+        shift = b * w
+        width = w if b < n_bands - 1 else bits - shift
+        bounds.append((shift, width))
+    return bounds
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bits: int = 16,
+    max_hamming: int = 2,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """-> (id_a, id_b, hamming <= max_hamming), id_a < id_b — near-dups
+    by SimHash Hamming distance WITHOUT an all-pairs comparison.
+
+    Pigeonhole blocking: the fingerprint splits into ``max_hamming + 1``
+    bit bands; two fingerprints within distance d MUST agree exactly on
+    at least one band, so candidates come from per-band equality
+    self-joins (a hash shuffle per band), verified by
+    ``bit_count(a XOR b)``.  ``max_bucket_size`` caps degenerate band
+    buckets exactly like LSH banding (members of a dropped bucket are
+    exact-dedup territory)."""
+    n_bands = max_hamming + 1
+    if bits < n_bands:
+        raise ValueError(f"need bits >= max_hamming+1 bands ({n_bands}), got {bits}")
+    sh = simhash(df, text_col, id_col, bits)
+    frames = []
+    for shift, width in _simhash_band_bounds(bits, n_bands):
+        mask = (1 << width) - 1
+        banded = sh.select(
+            "id", "simhash",
+            (F.shiftright(F.col("simhash"), shift).bitwiseAND(F.lit(mask))).alias("bkey"),
+        )
+        if max_bucket_size is not None:
+            ok = banded.groupBy("bkey").agg(F.count("*").alias("n")).filter(
+                F.col("n") <= max_bucket_size
+            )
+            banded = banded.join(ok.select("bkey"), "bkey", "leftsemi")
+        l = banded.select(F.col("id").alias("id_a"), F.col("simhash").alias("ha"), "bkey")
+        r = banded.select(F.col("id").alias("id_b"), F.col("simhash").alias("hb"), "bkey")
+        frames.append(
+            l.join(r, "bkey").filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "ha", "hb")
+        )
+    allp = frames[0]
+    for f in frames[1:]:
+        allp = allp.unionByName(f)
+    return (
+        allp.distinct()
+        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+    )
+
+
 def simhash_duplicate_groups(df: DataFrame, text_col: str, id_col: str,
                              bits: int = 32) -> DataFrame:
     """-> (simhash, n_docs, canonical_id): exact-fingerprint collisions."""

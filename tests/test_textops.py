@@ -203,3 +203,20 @@ def test_kmv_distinct_estimate_accuracy(spark):
     assert out["small"] == (10, 10.0)
     n, est = out["big"]
     assert n == 64 and abs(est - 3000) / 3000 < 0.3  # KMV ~1/sqrt(k-2) error
+
+
+def test_simhash_near_dup_banded_equals_bruteforce(spark, toy_docs):
+    """Pigeonhole banding must find EXACTLY the pairs brute-force
+    Hamming comparison finds (blocking is lossless for d <= max_hamming)."""
+    for d in (1, 2):
+        banded = {(r.id_a, r.id_b, r.hamming) for r in dedup.simhash_near_dup_pairs(
+            toy_docs, "text", "doc_id", bits=12, max_hamming=d).collect()}
+        fps = {r.id: r.simhash for r in
+               dedup.simhash(toy_docs, "text", "doc_id", bits=12).collect()}
+        ids = sorted(fps)
+        brute = {(a, b, bin(fps[a] ^ fps[b]).count("1"))
+                 for i, a in enumerate(ids) for b in ids[i + 1:]
+                 if bin(fps[a] ^ fps[b]).count("1") <= d}
+        assert banded == brute
+    # docs 1 and 6 carry identical token multisets -> distance 0 pair
+    assert any(p[:2] == (1, 6) for p in banded)
