@@ -294,6 +294,62 @@ FROM sid GROUP BY user_id, sid
 """
 
 
+PRK_K = 5
+
+
+def q_eval_prk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision@5 / recall@5 / MRR per query over the batch result set
+    (the binary-metric complement of the AP/nDCG gate)."""
+    from .evaluation.metrics import precision_recall_mrr
+
+    ix = EQ.get_index(spark, sf_dir)
+    qt = _batch_terms_df(spark).filter(F.col("qid").isin(*EVAL_QIDS))
+    results = batch_bm25_search(ix, qt, k=BATCH_K, cfg=EQ.NOSTEM_CFG).select(
+        "qid", "doc_id", "score"
+    )
+    out = precision_recall_mrr(results, _qrels(spark, sf_dir), k=PRK_K)
+    return out.select(
+        F.col("qid").cast("long").alias("qid"),
+        F.round("p_at_k", 4).alias("p_at_k"),
+        F.round("r_at_k", 4).alias("r_at_k"),
+        F.round("rr", 4).alias("rr"),
+    )
+
+
+def _sql_eval_prk() -> str:
+    qid_list = ", ".join(str(q) for q in EVAL_QIDS)
+    batch = SQL_BATCH_BM25.strip().rstrip()
+    return f"""
+WITH results AS (
+  SELECT qid, doc_id, score FROM ({batch}) WHERE qid IN ({qid_list})
+),
+qrels AS (
+  SELECT q.qid, d.doc_id,
+         CASE WHEN (d.doc_id * 3 + q.qid * 17) % 10 < 3 THEN 1 ELSE 0 END AS relevance
+  FROM (SELECT unnest([{qid_list}]) AS qid) q
+  CROSS JOIN (SELECT doc_id FROM documents WHERE doc_id < 200) d
+),
+ranked AS (
+  SELECT r.qid, r.doc_id,
+         row_number() OVER (PARTITION BY r.qid ORDER BY r.score DESC, r.doc_id ASC) AS rank,
+         coalesce(qr.relevance, 0) AS rel
+  FROM results r LEFT JOIN qrels qr ON qr.qid = r.qid AND qr.doc_id = r.doc_id
+),
+hits AS (SELECT qid, sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS hits
+         FROM ranked WHERE rank <= {PRK_K} GROUP BY qid),
+fr AS (SELECT qid, min(rank) AS first_rank FROM ranked WHERE rel > 0 GROUP BY qid),
+tot AS (SELECT qid, count(*) AS n_rel FROM qrels WHERE relevance > 0 GROUP BY qid),
+base AS (SELECT DISTINCT qid FROM results)
+SELECT CAST(b.qid AS BIGINT) AS qid,
+       round(coalesce(h.hits, 0) * 1.0 / {PRK_K}, 4) AS p_at_k,
+       round(CASE WHEN coalesce(t.n_rel, 0) > 0
+                  THEN coalesce(h.hits, 0) * 1.0 / t.n_rel ELSE 0 END, 4) AS r_at_k,
+       round(CASE WHEN f.first_rank IS NOT NULL THEN 1.0 / f.first_rank ELSE 0 END, 4) AS rr
+FROM base b
+LEFT JOIN hits h USING (qid) LEFT JOIN fr f USING (qid) LEFT JOIN tot t USING (qid)
+"""
+
+
 def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 family: selective dim filter -> two fact joins -> top-10
     by exact-decimal revenue.  The segment/date predicates push into the
@@ -431,6 +487,7 @@ EVAL_QUERIES = {
     "asof_status": q_asof_status,
     "range_bucket_join": q_range_bucket_join,
     "shipping_priority": q_shipping_priority,
+    "eval_prk": q_eval_prk,
 }
 
 EVAL_ORACLES = {
@@ -443,4 +500,5 @@ EVAL_ORACLES = {
     "asof_status": SQL_ASOF_STATUS,
     "range_bucket_join": _sql_range_bucket_join(),
     "shipping_priority": SQL_SHIPPING_PRIORITY,
+    "eval_prk": _sql_eval_prk(),
 }

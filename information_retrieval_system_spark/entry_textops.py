@@ -705,8 +705,44 @@ FROM documents
 """
 
 
+FRAME_EVERY_N = 10
+
+
+def q_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sampling fan-out through the driver gate: one
+    binary payload row -> many (frame_idx, frame_sha) rows via Arrow
+    mapInPandas; the deterministic fake frame count/checksums let
+    DuckDB mirror the exact rows (the real decoder slots into the same
+    batch loop)."""
+    from .multimodal.binary_ops import sample_frames
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    out = sample_frames(docs, every_n=FRAME_EVERY_N)
+    return out.select(
+        F.col("media_id").cast("long").alias("media_id"),
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        "frame_sha",
+    )
+
+
+SQL_FRAME_SAMPLES = f"""
+WITH n AS (SELECT doc_id AS media_id, text,
+                  1 + CAST(('0x' || substr(sha256(text), 5, 2)) AS INT) % 64 AS nf
+           FROM documents),
+fr AS (SELECT media_id, text, unnest(range(0, nf, {FRAME_EVERY_N})) AS frame_idx FROM n)
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(frame_idx AS BIGINT) AS frame_idx,
+       substr(sha256(text || ':' || CAST(frame_idx AS VARCHAR)), 1, 16) AS frame_sha
+FROM fr
+"""
+
+
 TEXTOPS_QUERIES = {
     "blob_metadata": q_blob_metadata,
+    "frame_samples": q_frame_samples,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_signatures": q_minhash_signatures,
@@ -729,6 +765,7 @@ TEXTOPS_QUERIES = {
 
 TEXTOPS_ORACLES = {
     "blob_metadata": SQL_BLOB_METADATA,
+    "frame_samples": SQL_FRAME_SAMPLES,
     "dedup_exact": SQL_DEDUP_EXACT,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "minhash_signatures": _sql_minhash(),

@@ -141,8 +141,10 @@ def sample_frames(
                 for fi in range(0, n_frames, every_n):
                     out["media_id"].append(int(mid))
                     out["frame_idx"].append(fi)
+                    # textual index suffix: cross-engine reproducible
+                    # (sha256 over payload || ':' || decimal index)
                     out["frame_sha"].append(
-                        hashlib.sha256(data + fi.to_bytes(4, "big")).hexdigest()[:16]
+                        hashlib.sha256(data + b":" + str(fi).encode()).hexdigest()[:16]
                     )
             yield pd.DataFrame(out)
 
