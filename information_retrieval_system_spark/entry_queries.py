@@ -233,6 +233,72 @@ ORDER BY doc_id
 """
 
 
+def q_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean AND retrieval: docs containing EVERY query term (posting
+    intersection as one count-distinct aggregate)."""
+    ix = get_index(spark, sf_dir)
+    res = scoring.conjunctive_search(ix, query_terms_df(spark), k=10**9, cfg=NOSTEM_CFG)
+    return res.select(F.col("doc_id").cast("long").alias("doc_id"), "score")
+
+
+SQL_CONJUNCTIVE = f"""
+WITH {TOKS_CTE},
+q AS (SELECT unnest({_sql_terms_list()}) AS term),
+m AS (
+  SELECT doc_id, count(DISTINCT term) AS nt
+  FROM (SELECT DISTINCT doc_id, term FROM toks) t JOIN q USING (term)
+  GROUP BY doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM m WHERE nt = {len(QUERY_TERMS)} ORDER BY doc_id
+"""
+
+
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT coverage: per-day event counts pivoted into one column per
+    event type (explicit value list — the scale-safe pivot form: no
+    distinct-values pre-pass)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.groupBy(F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .fillna(0, subset=types)
+    )
+    return out.select("day", *[F.col(t).cast("long").alias(t) for t in types])
+
+
+SQL_EVENTS_PIVOT = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+FROM events GROUP BY 1
+"""
+
+
+def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The consuming side of exact dedup: the corpus FILTERED to one
+    canonical row per distinct content (anti/semi-join plan) — on the
+    120-char prefix so the synthetic corpus actually has groups."""
+    from .textops.dedup import drop_duplicates_keep_canonical
+
+    docs = load_documents(spark, sf_dir).select(
+        "doc_id", F.substring("text", 1, 120).alias("text"))
+    out = drop_duplicates_keep_canonical(docs, "text", "doc_id")
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"))
+
+
+SQL_DEDUP_KEEP = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id
+FROM documents
+QUALIFY doc_id = min(doc_id) OVER (PARTITION BY sha256(substr(text, 1, 120)))
+"""
+
+
 def q_doc_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ix = get_index(spark, sf_dir)
     return ix.docs.select(F.col("doc_id").cast("long").alias("doc_id"),
@@ -385,6 +451,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk": q_bm25_topk,
     "vsm_topk": q_vsm_topk,
     "existential": q_existential,
+    "conjunctive": q_conjunctive,
+    "events_pivot": q_events_pivot,
+    "dedup_keep": q_dedup_keep,
     "doc_norms": q_doc_norms,
     "stopword_stats": q_stopword_stats,
     "pricing_summary": q_pricing_summary,
@@ -407,6 +476,9 @@ ORACLES: dict[str, str] = {
     "bm25_topk": SQL_BM25_TOPK,
     "vsm_topk": SQL_VSM_TOPK,
     "existential": SQL_EXISTENTIAL,
+    "conjunctive": SQL_CONJUNCTIVE,
+    "events_pivot": SQL_EVENTS_PIVOT,
+    "dedup_keep": SQL_DEDUP_KEEP,
     "doc_norms": SQL_DOC_NORMS,
     "stopword_stats": SQL_STOPWORD_STATS,
     "pricing_summary": SQL_PRICING_SUMMARY,

@@ -186,6 +186,33 @@ def batch_fuse_with_pagerank(
     )
 
 
+def conjunctive_search(
+    index: IndexTables,
+    query_terms: DataFrame,
+    k: int = 10,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Boolean AND retrieval: docs containing EVERY query term (that
+    exists in the vocabulary — absent terms make the result empty, the
+    strict-AND convention), scored 1.0.  The posting-list intersection
+    is one groupBy counting distinct matched terms per doc — no
+    iterative list-merge, and skew-capped like any count aggregate."""
+    qn = query_terms.join(F.broadcast(index.terms), "term", "leftsemi")
+    n_terms = qn.select("term").distinct().count()
+    if n_terms == 0 or n_terms < query_terms.select("term").distinct().count():
+        return index.docs.sparkSession.createDataFrame([], "doc_id long, score double")
+    m = _matched(index, query_terms, candidates)
+    return (
+        m.groupBy("doc_id")
+        .agg(F.countDistinct("term").alias("_nt"))
+        .filter(F.col("_nt") == n_terms)
+        .select("doc_id", F.lit(1.0).alias("score"))
+        .orderBy(F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def fuse_with_pagerank(
     ranked: DataFrame,
     docs: DataFrame,

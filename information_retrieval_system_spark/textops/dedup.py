@@ -54,6 +54,16 @@ def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def drop_duplicates_keep_canonical(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact-dedup FILTER (the pipeline's consuming side of
+    exact_duplicates): keep only the canonical (min-id) row per distinct
+    content.  One groupBy for the canonical ids + one semi-join back —
+    an anti/semi-join plan, no window sort over the corpus."""
+    keyed = df.withColumn("_sha", F.sha2(F.col(text_col), 256))
+    keep = keyed.groupBy("_sha").agg(F.min(F.col(id_col)).alias(id_col))
+    return keyed.join(keep, ["_sha", id_col], "leftsemi").drop("_sha")
+
+
 def shingles_expr(text_col: Column, n: int) -> Column:
     """Word n-gram shingles as an array<string> (distinct not applied)."""
     toks = tokens_array_expr(text_col)
