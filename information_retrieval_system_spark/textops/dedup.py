@@ -75,12 +75,16 @@ def shingles_expr(text_col: Column, n: int) -> Column:
     )
 
 
-def shingle_table(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    """-> (id, shingle) DISTINCT rows (set semantics for Jaccard)."""
-    return (
-        df.select(F.col(id_col).alias("id"), F.explode(shingles_expr(F.col(text_col), n)).alias("shingle"))
-        .distinct()
-    )
+def shingle_table(df: DataFrame, text_col: str, id_col: str, n: int,
+                  distinct: bool = True) -> DataFrame:
+    """-> (id, shingle) rows; DISTINCT by default (set semantics for
+    Jaccard sizes/intersections).  Pass ``distinct=False`` for consumers
+    that are duplicate-insensitive — min-hashing is (min over a multiset
+    == min over its set), and skipping the distinct saves a full
+    corpus-of-shingles shuffle."""
+    out = df.select(F.col(id_col).alias("id"),
+                    F.explode(shingles_expr(F.col(text_col), n)).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 def _capped_shingles(sh: DataFrame, max_shingle_df: int | None) -> DataFrame:
@@ -201,8 +205,12 @@ def minhash_signatures(
     num_hashes: int = 16,
     seed: int = 42,
 ) -> DataFrame:
-    """-> (id, mh_0..mh_{H-1}): one groupBy with H min() aggregates."""
-    sh = shingle_table(df, text_col, id_col, n).withColumn("h", h60(F.col("shingle")))
+    """-> (id, mh_0..mh_{H-1}): one groupBy with H min() aggregates.
+    The shingle stream is NOT deduplicated first — min() is
+    duplicate-insensitive, so the plan is explode -> one partial+final
+    aggregation, no distinct shuffle."""
+    sh = shingle_table(df, text_col, id_col, n, distinct=False).withColumn(
+        "h", h60(F.col("shingle")))
     params = minhash_params(num_hashes, seed)
     aggs = [
         F.min(minhash_expr(F.col("h"), a, b)).alias(f"mh_{i}")
