@@ -183,6 +183,29 @@ LIMIT {EQ.TOPK}
 """
 
 
+def q_phrase_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional path through the PERSISTED layout: a with-positions
+    index written via write_index (positions ride the bucketed postings
+    parquet as array<int>), read back, phrase-searched — same oracle as
+    the in-memory phrase gate (the round-trip must be value-invisible)."""
+    from .entry_batch import PHRASE, PHRASE_K
+    from .query.phrase import phrase_search
+
+    key = f"posix:{sf_dir}"
+    if key not in _SERVE_CACHE:
+        docs = EQ.load_documents(spark, sf_dir)
+        ix = B.build_index(docs, EQ.NOSTEM_CFG, doc_col="doc_id", text_col="text",
+                           with_positions=True)
+        out = os.path.join(tempfile.gettempdir(), "irs_served_pos", _TMP_TAG,
+                           sf_dir.strip("/").replace("/", "_"))
+        B.write_index(ix, out, EQ.NOSTEM_CFG)
+        _SERVE_CACHE[key] = B.read_index(spark, out)
+    ix = _SERVE_CACHE[key]
+    res = phrase_search(ix, list(PHRASE), k=PHRASE_K)
+    return res.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      F.col("score").cast("long").alias("n_occurrences"))
+
+
 def q_snapshot_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot lineage EXECUTED: commit the full-corpus index as
     snapshot v1, then commit a shrunk index (doc_id < 250, a
@@ -221,6 +244,7 @@ SERVING_QUERIES = {
     "bm25_full": q_bm25_full,
     "code_bm25": q_code_bm25,
     "snapshot_term_df": q_snapshot_term_df,
+    "phrase_served": q_phrase_served,
 }
 
 SERVING_ORACLES = {
@@ -229,4 +253,9 @@ SERVING_ORACLES = {
     "bm25_full": SQL_BM25_FULL,
     "code_bm25": SQL_CODE_BM25,
     "snapshot_term_df": EQ.SQL_TERM_DF,
+    "phrase_served": None,  # bound below (same oracle as phrase_search)
 }
+
+from .entry_batch import SQL_PHRASE_SEARCH  # noqa: E402  (loaded before this module)
+
+SERVING_ORACLES["phrase_served"] = SQL_PHRASE_SEARCH
