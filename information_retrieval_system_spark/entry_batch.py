@@ -360,6 +360,32 @@ def q_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("score", 4).alias("score"))
 
 
+def q_batch_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE batch query set through block-max WAND in one plan
+    (one cogroup for all queries, dl fanned out per qid by
+    construction) — exact, so the oracle is the exhaustive batch BM25
+    SQL.  Integer doc keys mean doc_int == doc_id."""
+    from .index.compression import build_block_postings, build_dl_blocks
+    from .query.wand import batch_bm25_topk_wand
+
+    ix = EQ.get_index(spark, sf_dir)
+    if sf_dir not in _BLOCK_CACHE:
+        blocks = build_block_postings(ix.postings, block_span=256).cache()
+        dlb = build_dl_blocks(ix.docs, block_span=256).cache()
+        blocks.count(); dlb.count()
+        _BLOCK_CACHE[sf_dir] = (blocks, dlb)
+    blocks, dlb = _BLOCK_CACHE[sf_dir]
+    queries = {qid: list(ts) for qid, ts in BATCH_QUERIES}
+    out = batch_bm25_topk_wand(blocks, dlb, ix.terms, ix.stats, queries,
+                               k=BATCH_K, cfg=EQ.NOSTEM_CFG, block_span=256)
+    return out.select(
+        F.col("qid").cast("long").alias("qid"),
+        F.col("doc_int").cast("long").alias("doc_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 # --- phrase (positional) search --------------------------------------------
 
 PHRASE = ("table", "hash")  # frequent adjacent bigram in the testdata
@@ -423,6 +449,7 @@ BATCH_QUERIES_REG = {
     "term_antonyms": q_term_antonyms,
     "antonym_vsm_topk": q_antonym_vsm_topk,
     "wand_topk": q_wand_topk,
+    "batch_wand": q_batch_wand,
 }
 
 BATCH_ORACLES = {
@@ -435,4 +462,5 @@ BATCH_ORACLES = {
     "term_antonyms": SQL_TERM_ANTONYMS,
     "antonym_vsm_topk": SQL_ANTONYM_VSM,
     "wand_topk": EQ.SQL_BM25_TOPK,
+    "batch_wand": SQL_BATCH_BM25,
 }

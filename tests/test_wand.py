@@ -122,3 +122,27 @@ def test_wand_served_bucket_partition_filter(blocked, spark, tmp_path):
                          terms, k=10, cfg=cfg, block_span=SPAN)
     assert [(r.doc_int, round(r.score, 9)) for r in served.collect()] == \
            [(r.doc_int, round(r.score, 9)) for r in mem.collect()]
+
+
+def test_batch_wand_equals_per_query_loop(blocked, spark):
+    """Batched WAND (one cogroup for the whole query set) must equal
+    the single-query kernel run in a loop — same docs, same scores."""
+    from information_retrieval_system_spark.query.wand import batch_bm25_topk_wand
+
+    cfg, index, blocks, dl_blocks = blocked
+    queries = {}
+    for qid, text in [(1, "spark join merge"), (2, "vector stream"),
+                      (3, "window filter sort batch"), (4, "zzz_absent")]:
+        qt = analyze_query_terms(spark, text, cfg)
+        queries[qid] = [r.term for r in qt.collect()]
+    batch = batch_bm25_topk_wand(blocks, dl_blocks, index.terms, index.stats,
+                                 queries, k=7, cfg=cfg, block_span=SPAN)
+    got = {(r.qid, r.rank): (r.doc_int, round(r.score, 9)) for r in batch.collect()}
+    want = {}
+    for qid, ts in queries.items():
+        single = bm25_topk_wand(blocks, dl_blocks, index.terms, index.stats,
+                                ts, k=7, cfg=cfg, block_span=SPAN).collect()
+        for rank, r in enumerate(single, start=1):
+            want[(qid, rank)] = (r.doc_int, round(r.score, 9))
+    assert got == want
+    assert not any(q == 4 for q, _ in got)  # absent-term query yields nothing
