@@ -50,26 +50,51 @@ def kmv_distinct(
     key_col: str,
     group_cols: list[str],
     k: int = 32,
+    prefilter_factor: int = 8,
 ) -> DataFrame:
     """-> (group..., n_exact_or_k, kmv_estimate): per group, the KMV
     distinct estimate of ``key_col`` (exact when the group has < k
     distinct keys).
 
-    Shape: distinct (group, hash) -> per-group window rank -> the k-th
-    smallest hash.  The window sorts each group's distinct hashes; at
-    extreme cardinality per group, replace with the mergeable bounded
-    aggregate (keep k smallest per partition, merge) — same estimator,
-    same output."""
+    Scale shape: the k-th smallest hash is found WITHOUT sorting each
+    group's full hash set through one window partition.  Distinct
+    counts per group come from one aggregate; hashes are then
+    pre-filtered to ``h <= prefilter_factor * k/n * 2^60`` — under the
+    (cryptographic-hash) uniformity KMV itself relies on, the k
+    smallest sit far below that threshold, so the per-group window runs
+    over ~factor*k rows instead of n.  The filter is VERIFIED, not
+    trusted: any group whose kept-count falls below min(k, n) raises
+    (never a silently wrong estimate); at factor 8 the failure odds per
+    group are exp(-Θ(k)) — never observed in practice."""
     hashed = (
         df.select(*group_cols, h60(F.col(key_col).cast("string")).alias("_h"))
         .distinct()
     )
+    counts = hashed.groupBy(*group_cols).agg(F.count("*").alias("_n"))
+    thresh = F.when(
+        F.col("_n") > prefilter_factor * k,
+        (F.lit(float(prefilter_factor * k)) / F.col("_n") * F.lit(H60_SPACE)).cast("long"),
+    ).otherwise(F.lit((1 << 60) - 1))
+    small = (
+        hashed.join(F.broadcast(counts.withColumn("_t", thresh)), group_cols)
+        .filter(F.col("_h") <= F.col("_t"))
+    )
     w = Window.partitionBy(*group_cols).orderBy("_h")
-    ranked = hashed.withColumn("_rn", F.row_number().over(w))
-    per_group = ranked.groupBy(*group_cols).agg(
-        F.count("*").alias("_n"),
+    ranked = small.withColumn("_rn", F.row_number().over(w))
+    per_group = ranked.groupBy(*group_cols, "_n").agg(
+        F.count("*").alias("_kept"),
         F.max(F.when(F.col("_rn") == k, F.col("_h"))).alias("_kth"),
     )
+    # deterministic guard: the prefilter must have kept at least
+    # min(k, n) rows per group, or the k-th min could be wrong
+    bad = per_group.filter(
+        F.col("_kept") < F.least(F.lit(k), F.col("_n"))
+    ).limit(1).collect()
+    if bad:
+        raise RuntimeError(
+            f"kmv_distinct prefilter kept too few hashes for group {bad[0]} — "
+            f"raise prefilter_factor (current {prefilter_factor})"
+        )
     est = F.when(
         F.col("_n") >= k,
         (F.lit(float(k - 1)) / (F.col("_kth") / F.lit(H60_SPACE))),
