@@ -98,10 +98,34 @@ def compact_delta_index(spark: SparkSession, delta_dir: str, out_dir: str,
     builder's int fast path); norms use the builder's floor-idf quirk.
     At scale this runs on a cadence (or when delta file count crosses a
     threshold) and serving flips to the compacted snapshot — exactly an
-    Iceberg rewrite-data-files action, expressed on plain parquet."""
+    Iceberg rewrite-data-files action, expressed on plain parquet.
+    ``compact_to_snapshot`` is the same job committing into the
+    snapshot log instead of a bare directory."""
+    from ..index.builder import read_index, write_index
+
+    tables = _compacted_tables(spark, delta_dir)
+    write_index(tables, out_dir, cfg)
+    return read_index(spark, out_dir)
+
+
+def compact_to_snapshot(spark: SparkSession, delta_dir: str, snapshot_root: str,
+                        cfg: EngineConfig = DEFAULT_CONFIG,
+                        note: str = "") -> int:
+    """Compaction committed as an immutable SNAPSHOT (operation
+    "compaction" in the lineage log): the streaming deltas become a new
+    version of the serving index without disturbing any prior snapshot
+    a reader may hold.  Returns the snapshot id."""
+    from ..index.snapshots import commit_snapshot
+
+    tables = _compacted_tables(spark, delta_dir)
+    return commit_snapshot(tables, snapshot_root, cfg,
+                           operation="compaction", note=note)
+
+
+def _compacted_tables(spark: SparkSession, delta_dir: str):
     import math
 
-    from ..index.builder import IndexTables, read_index, write_index
+    from ..index.builder import IndexTables
 
     postings, docs, terms, stats = merged_index_view(spark, delta_dir)
     p = postings.withColumn("doc_int", F.col("doc_id").cast("long"))
@@ -124,9 +148,7 @@ def compact_delta_index(spark: SparkSession, delta_dir: str, out_dir: str,
     )
     stats2 = dict(stats)
     stats2["int_doc_ids"] = True
-    tables = IndexTables(postings=p, docs=docs_full, terms=terms, stats=stats2)
-    write_index(tables, out_dir, cfg)
-    return read_index(spark, out_dir)
+    return IndexTables(postings=p, docs=docs_full, terms=terms, stats=stats2)
 
 
 def merged_index_view(spark: SparkSession, out_dir: str):

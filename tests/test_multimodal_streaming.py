@@ -218,3 +218,37 @@ def test_stream_sessionization_event_time_timeout(spark, tmp_path):
     assert (1, us(10, 0, 0), us(10, 0, 5), 2, 3.0) in got
     # user 2's session is still open when the stream drains: not emitted
     assert all(u != 2 for (u, *_ ) in got)
+
+
+def test_compact_to_snapshot_lineage(spark, tmp_path):
+    """Streaming deltas -> compaction committed as an immutable
+    snapshot: the lineage log records the operation, and the snapshot
+    read matches a batch aggregation of the same deltas."""
+    from pyspark.sql import functions as F
+
+    from information_retrieval_system_spark.index.snapshots import (
+        read_snapshot, snapshot_lineage)
+    from information_retrieval_system_spark.streaming.incremental import (
+        compact_to_snapshot)
+
+    delta = str(tmp_path / "delta")
+    # two hand-written delta batches (disjoint docs, like foreachBatch)
+    p1 = [("alpha", 1, 2), ("beta", 1, 1), ("alpha", 2, 1)]
+    p2 = [("beta", 3, 4), ("gamma", 3, 1)]
+    for bid, rows in enumerate([p1, p2]):
+        spark.createDataFrame(rows, "term string, doc_id long, tf int").withColumn(
+            "batch_id", F.lit(bid)).write.mode("append").parquet(f"{delta}/postings_delta")
+    d1 = [(1, 3), (2, 1)]
+    d2 = [(3, 5)]
+    for bid, rows in enumerate([d1, d2]):
+        spark.createDataFrame(rows, "doc_id long, length long").withColumn(
+            "batch_id", F.lit(bid)).write.mode("append").parquet(f"{delta}/docs_delta")
+
+    root = str(tmp_path / "snaps")
+    sid = compact_to_snapshot(spark, delta, root)
+    chain = snapshot_lineage(root)
+    assert [e["operation"] for e in chain] == ["compaction"]
+    ix = read_snapshot(spark, root, sid)
+    terms = {r.term: (r.df, r.cf) for r in ix.terms.collect()}
+    assert terms == {"alpha": (2, 3), "beta": (2, 5), "gamma": (1, 1)}
+    assert ix.stats["n_docs"] == 3 and ix.stats["int_doc_ids"] is True
