@@ -82,6 +82,37 @@ FROM ranked WHERE rank <= {BATCH_K}
 """
 
 
+def sql_batch_results_cte() -> str:
+    """CTE chain ending in ``results(qid, doc_id, score, rank)`` with
+    UNROUNDED BM25 scores and ranks computed on them (rank <= BATCH_K).
+    Shared by every oracle that CONSUMES batch results (fusion, P@k/MRR):
+    re-ranking on SQL_BATCH_BM25's 4-decimal-rounded scores can swap
+    near-tied docs relative to the engine's unrounded ordering."""
+    return f"""{EQ.TOKS_CTE.strip().rstrip()},
+post AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM post GROUP BY 1),
+dl AS (SELECT d.doc_id, CAST(coalesce(t.dl, 0) AS DOUBLE) AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1) t USING (doc_id)),
+stats AS (SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS nd,
+                 CAST((SELECT count(*) FROM toks) // (SELECT count(*) FROM documents) AS DOUBLE) AS avgdl),
+q AS (SELECT qid, term FROM {_sql_batch_queries()}),
+scored AS (
+  SELECT q.qid, p.doc_id,
+         (ln((s.nd - f.df + 0.5) / (f.df + 0.5)) / ln(2))
+           * p.tf * ({EQ.K1} + 1)
+           / (p.tf + {EQ.K1} * (1 - {EQ.B} + {EQ.B} * d.dl / s.avgdl)) AS ts
+  FROM post p JOIN q USING (term) JOIN dft f USING (term)
+  JOIN dl d USING (doc_id) CROSS JOIN stats s
+),
+agg AS (SELECT qid, doc_id, sum(ts) AS score FROM scored GROUP BY 1, 2),
+rk AS (
+  SELECT qid, doc_id, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rank
+  FROM agg
+),
+results AS (SELECT qid, doc_id, score, rank FROM rk WHERE rank <= {BATCH_K})"""
+
+
 def q_field_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = EQ.load_documents(spark, sf_dir)
     out = field_term_stats(docs, "text", "lang", EQ.NOSTEM_CFG)

@@ -317,12 +317,14 @@ def q_eval_prk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_eval_prk() -> str:
+    # ranks come from the UNROUNDED shared batch CTE — re-ranking on
+    # SQL_BATCH_BM25's rounded scores can swap near-tied docs vs the
+    # engine's unrounded ordering (latent gate flake)
+    from .entry_batch import sql_batch_results_cte
+
     qid_list = ", ".join(str(q) for q in EVAL_QIDS)
-    batch = SQL_BATCH_BM25.strip().rstrip()
     return f"""
-WITH results AS (
-  SELECT qid, doc_id, score FROM ({batch}) WHERE qid IN ({qid_list})
-),
+WITH {sql_batch_results_cte()},
 qrels AS (
   SELECT q.qid, d.doc_id,
          CASE WHEN (d.doc_id * 3 + q.qid * 17) % 10 < 3 THEN 1 ELSE 0 END AS relevance
@@ -330,16 +332,15 @@ qrels AS (
   CROSS JOIN (SELECT doc_id FROM documents WHERE doc_id < 200) d
 ),
 ranked AS (
-  SELECT r.qid, r.doc_id,
-         row_number() OVER (PARTITION BY r.qid ORDER BY r.score DESC, r.doc_id ASC) AS rank,
-         coalesce(qr.relevance, 0) AS rel
+  SELECT r.qid, r.doc_id, r.rank, coalesce(qr.relevance, 0) AS rel
   FROM results r LEFT JOIN qrels qr ON qr.qid = r.qid AND qr.doc_id = r.doc_id
+  WHERE r.qid IN ({qid_list})
 ),
 hits AS (SELECT qid, sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS hits
          FROM ranked WHERE rank <= {PRK_K} GROUP BY qid),
 fr AS (SELECT qid, min(rank) AS first_rank FROM ranked WHERE rel > 0 GROUP BY qid),
 tot AS (SELECT qid, count(*) AS n_rel FROM qrels WHERE relevance > 0 GROUP BY qid),
-base AS (SELECT DISTINCT qid FROM results)
+base AS (SELECT DISTINCT qid FROM ranked)
 SELECT CAST(b.qid AS BIGINT) AS qid,
        round(coalesce(h.hits, 0) * 1.0 / {PRK_K}, 4) AS p_at_k,
        round(CASE WHEN coalesce(t.n_rel, 0) > 0

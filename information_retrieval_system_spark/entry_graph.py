@@ -166,35 +166,13 @@ def q_batch_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_batch_fusion() -> str:
-    # NOT reusing SQL_BATCH_BM25: that oracle rounds scores to 4 decimals
-    # for its own gate, but fusion consumes UNROUNDED BM25 scores
-    from .entry_batch import BATCH_K, _sql_batch_queries
+    # built on the UNROUNDED shared batch-results CTE (SQL_BATCH_BM25
+    # rounds scores to 4 decimals for its own gate; fusion consumes raw)
+    from .entry_batch import sql_batch_results_cte
 
     return f"""
 WITH RECURSIVE
-{EQ.TOKS_CTE.strip().rstrip()},
-post AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
-dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM post GROUP BY 1),
-dl AS (SELECT d.doc_id, CAST(coalesce(t.dl, 0) AS DOUBLE) AS dl
-       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1) t USING (doc_id)),
-stats AS (SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS nd,
-                 CAST((SELECT count(*) FROM toks) // (SELECT count(*) FROM documents) AS DOUBLE) AS avgdl),
-q AS (SELECT qid, term FROM {_sql_batch_queries()}),
-scored AS (
-  SELECT q.qid, p.doc_id,
-         (ln((s.nd - f.df + 0.5) / (f.df + 0.5)) / ln(2))
-           * p.tf * ({EQ.K1} + 1)
-           / (p.tf + {EQ.K1} * (1 - {EQ.B} + {EQ.B} * d.dl / s.avgdl)) AS ts
-  FROM post p JOIN q USING (term) JOIN dft f USING (term)
-  JOIN dl d USING (doc_id) CROSS JOIN stats s
-),
-agg AS (SELECT qid, doc_id, sum(ts) AS score FROM scored GROUP BY 1, 2),
-rk AS (
-  SELECT qid, doc_id, score,
-         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rank
-  FROM agg
-),
-results AS (SELECT qid, doc_id, score FROM rk WHERE rank <= {BATCH_K}),
+{sql_batch_results_cte()},
 {EDGES_CTE.strip().rstrip()},
 pr(iter, id, rank) AS (
   SELECT 0, doc_id, 1.0 / (SELECT n FROM n) FROM documents

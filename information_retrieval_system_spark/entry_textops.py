@@ -254,9 +254,13 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     popcount verify — never an all-pairs scan.  Oracle computes the
     same pair set by brute force; equality of the banded plan with the
     exhaustive definition is exactly the gate."""
+    # cap OFF here: the oracle is uncapped brute force, and 16-bit
+    # fingerprints on >1k docs overflow any bucket cap by pigeonhole —
+    # at scale you raise `bits` with corpus size rather than cap
     out = dedup.simhash_near_dup_pairs(
         _docs(spark, sf_dir), "text", "doc_id",
         bits=SIMHASH_BITS, max_hamming=SIMHASH_MAX_HAMMING,
+        max_bucket_size=None,
     )
     return out.select(
         F.col("id_a").cast("long").alias("id_a"),

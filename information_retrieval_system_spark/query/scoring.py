@@ -198,9 +198,18 @@ def conjunctive_search(
     strict-AND convention), scored 1.0.  The posting-list intersection
     is one groupBy counting distinct matched terms per doc — no
     iterative list-merge, and skew-capped like any count aggregate."""
-    qn = query_terms.join(F.broadcast(index.terms), "term", "leftsemi")
-    n_terms = qn.select("term").distinct().count()
-    if n_terms == 0 or n_terms < query_terms.select("term").distinct().count():
+    # ONE driver job decides strict-AND emptiness: distinct query terms
+    # left-joined against the vocabulary, counting total vs present
+    row = (
+        query_terms.select("term").distinct()
+        .join(F.broadcast(index.terms.select("term").withColumn("_p", F.lit(1))),
+              "term", "left")
+        .agg(F.count("*").alias("_total"),
+             F.coalesce(F.sum("_p"), F.lit(0)).alias("_present"))
+        .collect()[0]
+    )
+    n_terms = int(row["_present"])
+    if n_terms == 0 or n_terms < int(row["_total"]):
         return index.docs.sparkSession.createDataFrame([], "doc_id long, score double")
     m = _matched(index, query_terms, candidates)
     return (

@@ -45,7 +45,9 @@ def asof_join(
     Ties at the exact same timestamp resolve to the right row (state
     "as of" t includes a change at t) — same as DuckDB/pandas
     ``ASOF JOIN`` / ``merge_asof`` backward semantics.  ``tolerance_sec``
-    drops matches older than the window (merge_asof's tolerance).
+    drops matches older than the window (merge_asof's tolerance) —
+    seconds for timestamp columns, the column's own units for numeric
+    (epoch-like) timestamps.
 
     Plan: union of tagged inputs -> one window per key ordered by
     (ts, right-first) -> ``last(ignorenulls=True)`` -> keep left rows.
@@ -53,18 +55,24 @@ def asof_join(
     """
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (on, right_ts)]
-    lt = left.withColumn("_t", F.col(left_ts)).withColumn("_is_l", F.lit(1))
+    # the matched right ROW is carried as ONE struct — last(ignorenulls)
+    # over separate columns would mix fields from different right rows
+    # whenever a newer row holds a NULL value (and would report that
+    # newer row's timestamp against an older carried value, defeating
+    # the tolerance check)
     rt = right.select(
         F.col(on),
         F.col(right_ts).alias("_t"),
         F.lit(0).alias("_is_l"),
-        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        F.struct(F.col(right_ts).alias("_rts"),
+                 *[F.col(c) for c in value_cols]).alias("_rs"),
     )
-    for c in value_cols:
-        lt = lt.withColumn(f"_r_{c}", F.lit(None).cast(rt.schema[f"_r_{c}"].dataType))
-    if tolerance_sec is not None:
-        rt = rt.withColumn("_rt0", F.col("_t"))
-        lt = lt.withColumn("_rt0", F.lit(None).cast("timestamp"))
+    rs_type = rt.schema["_rs"].dataType
+    lt = (
+        left.withColumn("_t", F.col(left_ts))
+        .withColumn("_is_l", F.lit(1))
+        .withColumn("_rs", F.lit(None).cast(rs_type))
+    )
     cols = lt.columns
     both = lt.select(*cols).unionByName(rt.select(*[c for c in cols if c in rt.columns]),
                                         allowMissingColumns=True)
@@ -75,23 +83,21 @@ def asof_join(
         .orderBy(F.col("_t").asc(), F.col("_is_l").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    out = both
-    for c in value_cols:
-        out = out.withColumn(f"_r_{c}", F.last(f"_r_{c}", ignorenulls=True).over(w))
+    out = both.withColumn("_rs", F.last("_rs", ignorenulls=True).over(w))
+    matched = F.col("_rs").isNotNull()
     if tolerance_sec is not None:
-        out = out.withColumn("_rt0", F.last("_rt0", ignorenulls=True).over(w))
-        cond = F.col("_rt0").isNotNull() & (
-            F.unix_micros(F.col("_t").cast("timestamp"))
-            - F.unix_micros(F.col("_rt0").cast("timestamp"))
-            <= tolerance_sec * 1_000_000
-        )
-        for c in value_cols:
-            out = out.withColumn(f"_r_{c}", F.when(cond, F.col(f"_r_{c}")))
-        out = out.drop("_rt0")
-    out = out.filter(F.col("_is_l") == 1).drop("_t", "_is_l")
+        # timestamp columns compare in seconds; numeric (epoch-like)
+        # columns compare in their own units
+        if str(both.schema["_t"].dataType).startswith("Timestamp"):
+            diff = (F.unix_micros(F.col("_t")) - F.unix_micros(F.col("_rs._rts"))) \
+                / F.lit(1_000_000.0)
+        else:
+            diff = F.col("_t") - F.col("_rs._rts")
+        matched = matched & (diff <= F.lit(tolerance_sec))
+    out = out.filter(F.col("_is_l") == 1)
     for c in value_cols:
-        out = out.withColumnRenamed(f"_r_{c}", c)
-    return out
+        out = out.withColumn(c, F.when(matched, F.col(f"_rs.{c}")))
+    return out.drop("_t", "_is_l", "_rs")
 
 
 def range_join_buckets(

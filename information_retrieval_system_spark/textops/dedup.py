@@ -59,7 +59,12 @@ def drop_duplicates_keep_canonical(df: DataFrame, text_col: str, id_col: str) ->
     exact_duplicates): keep only the canonical (min-id) row per distinct
     content.  One groupBy for the canonical ids + one semi-join back —
     an anti/semi-join plan, no window sort over the corpus."""
-    keyed = df.withColumn("_sha", F.sha2(F.col(text_col), 256))
+    # NULL text: sha2(NULL) is NULL and a non-null-safe join would drop
+    # EVERY null-text row (canonical included); the sentinel groups them
+    # into one keep-one partition, matching SQL window-partition-by-NULL
+    keyed = df.withColumn(
+        "_sha", F.coalesce(F.sha2(F.col(text_col), 256), F.lit("__null_text__"))
+    )
     keep = keyed.groupBy("_sha").agg(F.min(F.col(id_col)).alias(id_col))
     return keyed.join(keep, ["_sha", id_col], "leftsemi").drop("_sha")
 

@@ -85,20 +85,19 @@ def kmv_distinct(
         F.count("*").alias("_kept"),
         F.max(F.when(F.col("_rn") == k, F.col("_h"))).alias("_kth"),
     )
-    # deterministic guard: the prefilter must have kept at least
-    # min(k, n) rows per group, or the k-th min could be wrong
-    bad = per_group.filter(
-        F.col("_kept") < F.least(F.lit(k), F.col("_n"))
-    ).limit(1).collect()
-    if bad:
-        raise RuntimeError(
-            f"kmv_distinct prefilter kept too few hashes for group {bad[0]} — "
-            f"raise prefilter_factor (current {prefilter_factor})"
-        )
-    est = F.when(
+    # deterministic IN-PLAN guard (no extra driver job, no double
+    # execution): if the prefilter kept fewer than min(k, n) rows for
+    # any group the job FAILS loudly instead of emitting a wrong k-th min
+    est_ok = F.when(
         F.col("_n") >= k,
         (F.lit(float(k - 1)) / (F.col("_kth") / F.lit(H60_SPACE))),
     ).otherwise(F.col("_n").cast("double"))
+    est = F.when(
+        F.col("_kept") >= F.least(F.lit(k), F.col("_n")), est_ok
+    ).otherwise(F.expr(
+        f"raise_error('kmv_distinct prefilter kept too few hashes — "
+        f"raise prefilter_factor (current {prefilter_factor})')"
+    ).cast("double"))
     return per_group.select(
         *group_cols,
         F.least(F.col("_n"), F.lit(k)).cast("long").alias("n_seen_capped"),

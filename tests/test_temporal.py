@@ -109,3 +109,19 @@ def test_asof_matches_pandas_merge_asof(spark):
     norm = {k: (None if (isinstance(v, float) and math.isnan(v)) else int(v))
             for k, v in expected.items()}
     assert got == norm
+
+
+def test_asof_null_right_value_not_skipped(spark):
+    """A newer right row with a NULL value must WIN the as-of match
+    (yielding NULL), never leak an older stale value — and tolerance
+    must measure against the MATCHED row's timestamp."""
+    left = spark.createDataFrame(
+        [(1, _ts(30), 7)], "event_id long, ts timestamp, user_id long")
+    right = spark.createDataFrame(
+        [(7, _ts(0), 5), (7, _ts(29), None)],
+        "user_id long, ts timestamp, status long")
+    out = asof_join(left, right, on="user_id", value_cols=["status"]).collect()
+    assert out[0].status is None  # matched the t=29 row, whose value is NULL
+    out2 = asof_join(left, right, on="user_id", value_cols=["status"],
+                     tolerance_sec=120).collect()
+    assert out2[0].status is None  # never 5: t=0 is not the matched row

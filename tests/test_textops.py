@@ -220,3 +220,13 @@ def test_simhash_near_dup_banded_equals_bruteforce(spark, toy_docs):
         assert banded == brute
     # docs 1 and 6 carry identical token multisets -> distance 0 pair
     assert any(p[:2] == (1, 6) for p in banded)
+
+
+def test_dedup_keep_canonical_null_text(spark):
+    """NULL texts form one keep-one group (sha of NULL is NULL; a
+    non-null-safe join would silently drop every null-text row)."""
+    rows = [(1, "a"), (2, "a"), (3, None), (4, None), (5, "b")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(r.doc_id for r in
+                  dedup.drop_duplicates_keep_canonical(df, "text", "doc_id").collect())
+    assert kept == [1, 3, 5]
