@@ -146,3 +146,30 @@ def test_batch_wand_equals_per_query_loop(blocked, spark):
             want[(qid, rank)] = (r.doc_int, round(r.score, 9))
     assert got == want
     assert not any(q == 4 for q, _ in got)  # absent-term query yields nothing
+
+
+def test_batch_wand_served_bucket_pruned(blocked, spark, tmp_path):
+    """Batched WAND through the persisted layout: tbucket partition
+    filter applies to the UNION of all query terms; results equal the
+    in-memory batch."""
+    from information_retrieval_system_spark.index.compression import (
+        read_block_index, write_block_index)
+    from information_retrieval_system_spark.query.wand import batch_bm25_topk_wand
+
+    cfg, index, blocks, dl_blocks = blocked
+    out_dir = str(tmp_path / "layout")
+    write_block_index(blocks, dl_blocks, out_dir, term_buckets=8)
+    b_all, dlb = read_block_index(spark, out_dir, keep_bucket=True)
+    queries = {}
+    for qid, text in [(1, "spark join merge"), (2, "vector stream")]:
+        qt = analyze_query_terms(spark, text, cfg)
+        queries[qid] = [r.term for r in qt.collect()]
+    served = batch_bm25_topk_wand(b_all, dlb, index.terms, index.stats,
+                                  queries, k=5, cfg=cfg, block_span=SPAN,
+                                  term_buckets=8)
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "tbucket" in plan
+    mem = batch_bm25_topk_wand(blocks, dl_blocks, index.terms, index.stats,
+                               queries, k=5, cfg=cfg, block_span=SPAN)
+    key = lambda rs: sorted((r.qid, r.rank, r.doc_int, round(r.score, 9)) for r in rs)
+    assert key(served.collect()) == key(mem.collect())
