@@ -280,6 +280,56 @@ LIMIT {EQ.TOPK}
 """
 
 
+# --- spelling correction (SymSpell-style) -----------------------------------
+
+MISSPELLED = ("spork", "jion", "mergee", "windoww", "batch", "zzzzqq")
+
+
+def q_spell_correct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-1 query-term correction against the index vocabulary:
+    deletion-variant equi-join blocking + levenshtein verify, top-1 by
+    (distance, df, term).  Exact hits self-suggest; no-candidate terms
+    keep NULLs."""
+    from .query.spelling import correct_terms
+
+    ix = EQ.get_index(spark, sf_dir)
+    q = spark.createDataFrame([(t,) for t in MISSPELLED], "qterm string")
+    out = correct_terms(ix.terms.select("term", "df"), q, max_distance=1)
+    return out.select(
+        "qterm", "suggestion",
+        F.col("df").cast("long").alias("df"),
+        F.col("distance").cast("long").alias("distance"),
+    )
+
+
+def _sql_spell_correct() -> str:
+    qs = ", ".join(f"'{t}'" for t in MISSPELLED)
+    dels = ("list_distinct(list_append("
+            "list_transform(range(length({c})), i -> substr({c}, 1, i) || substr({c}, i + 2)), {c}))")
+    return f"""
+WITH {EQ.TOKS_CTE},
+post AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+vocab AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term),
+vidx AS (SELECT term, df, unnest({dels.format(c='term')}) AS variant FROM vocab),
+q AS (SELECT unnest([{qs}]) AS qterm),
+qv AS (SELECT qterm, unnest({dels.format(c='qterm')}) AS variant FROM q),
+cand AS (
+  SELECT DISTINCT qterm, term, df, levenshtein(qterm, term) AS distance
+  FROM qv JOIN vidx USING (variant)
+  WHERE levenshtein(qterm, term) <= 1
+),
+best AS (
+  SELECT qterm, term AS suggestion, df, distance,
+         row_number() OVER (PARTITION BY qterm
+                            ORDER BY distance ASC, df DESC, term ASC) AS rn
+  FROM cand
+)
+SELECT q.qterm, b.suggestion, CAST(b.df AS BIGINT) AS df,
+       CAST(b.distance AS BIGINT) AS distance
+FROM q LEFT JOIN best b ON b.qterm = q.qterm AND b.rn = 1
+"""
+
+
 # --- derived antonym dictionary (R6) ----------------------------------------
 
 #: extends NEIGHBORS_CTE: the antonym-analog is the LEAST-cosine
@@ -481,6 +531,7 @@ BATCH_QUERIES_REG = {
     "antonym_vsm_topk": q_antonym_vsm_topk,
     "wand_topk": q_wand_topk,
     "batch_wand": q_batch_wand,
+    "spell_correct": q_spell_correct,
 }
 
 BATCH_ORACLES = {
@@ -494,4 +545,5 @@ BATCH_ORACLES = {
     "antonym_vsm_topk": SQL_ANTONYM_VSM,
     "wand_topk": EQ.SQL_BM25_TOPK,
     "batch_wand": SQL_BATCH_BM25,
+    "spell_correct": _sql_spell_correct(),
 }

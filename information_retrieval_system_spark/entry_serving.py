@@ -206,6 +206,24 @@ def q_phrase_served(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("score").cast("long").alias("n_occurrences"))
 
 
+def q_routed_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-based routing over the served layouts: the planner picks
+    WAND or the exhaustive join from Σ df (both paths are exact, so the
+    oracle is the same either way — routing must be value-invisible)."""
+    from .query.wand import route_bm25
+
+    key = f"blocks:{sf_dir}"
+    if key not in _SERVE_CACHE:
+        q_wand_served(spark, sf_dir)  # builds + caches the block layout
+    blocks, dlb = _SERVE_CACHE[key]
+    ix = _served_ix(spark, sf_dir)
+    out, route = route_bm25(ix, blocks, dlb, EQ.query_terms_df(spark),
+                            k=EQ.TOPK, cfg=EQ.NOSTEM_CFG, block_span=256,
+                            term_buckets=WAND_TERM_BUCKETS)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      F.round("score", 4).alias("score"))
+
+
 def q_snapshot_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot lineage EXECUTED: commit the full-corpus index as
     snapshot v1, then commit a shrunk index (doc_id < 250, a
@@ -245,6 +263,7 @@ SERVING_QUERIES = {
     "code_bm25": q_code_bm25,
     "snapshot_term_df": q_snapshot_term_df,
     "phrase_served": q_phrase_served,
+    "routed_bm25": q_routed_bm25,
 }
 
 SERVING_ORACLES = {
@@ -254,6 +273,7 @@ SERVING_ORACLES = {
     "code_bm25": SQL_CODE_BM25,
     "snapshot_term_df": EQ.SQL_TERM_DF,
     "phrase_served": None,  # bound below (same oracle as phrase_search)
+    "routed_bm25": EQ.SQL_BM25_TOPK,
 }
 
 from .entry_batch import SQL_PHRASE_SEARCH  # noqa: E402  (loaded before this module)

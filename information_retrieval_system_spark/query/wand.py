@@ -364,3 +364,51 @@ def batch_bm25_topk_wand(
         .filter(F.col("rank") <= k)
         .select("qid", "doc_int", F.col("rank").cast("long").alias("rank"), "score")
     )
+
+
+# ---------------------------------------------------------------------------
+# cost-based routing: exhaustive join vs block-max WAND per query
+# ---------------------------------------------------------------------------
+
+def route_bm25(
+    index,
+    blocks: DataFrame,
+    dl_blocks: DataFrame,
+    query_terms: DataFrame,
+    k: int = 10,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    block_span: int = DEFAULT_BLOCK_SPAN,
+    term_buckets: int | None = None,
+    wand_min_postings: int = 200_000,
+) -> tuple[DataFrame, str]:
+    """Pick the execution path per query from the term stats the planner
+    already has: the measured crossover (BENCH.md) shows block-max WAND
+    wins once the query's posting volume is large (the head-heavy
+    queries that are the exhaustive join's worst case), while tiny
+    posting sets are cheaper through the plain broadcast-join plan than
+    through the cogroup + Arrow kernel's fixed cost.
+
+    Routes on ``Σ df`` (the exact posting row count the exhaustive plan
+    must score): >= ``wand_min_postings`` -> WAND over the compressed
+    blocks; below -> exhaustive.  Returns (result, route) with result
+    ALWAYS (doc_id, score) top-k under the same total order — routing
+    is invisible in values (both paths are exact), which is what makes
+    it safe to flip thresholds in production.
+    """
+    from . import scoring
+
+    qset = [r.term for r in query_terms.select("term").distinct().collect()]
+    dfs = {r.term: int(r.df) for r in
+           index.terms.filter(F.col("term").isin(qset)).select("term", "df").collect()}
+    total_postings = sum(dfs.values())
+    if total_postings >= wand_min_postings:
+        out = bm25_topk_wand(blocks, dl_blocks, index.terms, index.stats,
+                             qset, k=k, cfg=cfg, block_span=block_span,
+                             docs=None if index.stats.get("int_doc_ids") else index.docs,
+                             term_buckets=term_buckets)
+        if index.stats.get("int_doc_ids"):
+            out = out.select(F.col("doc_int").alias("doc_id"), "score")
+        else:
+            out = out.select("doc_id", "score")
+        return out, "wand"
+    return scoring.bm25_search(index, query_terms, k=k, cfg=cfg), "exhaustive"

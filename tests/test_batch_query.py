@@ -77,3 +77,23 @@ def test_expansion_mechanism(spark):
     exp2 = spark.createDataFrame([("spark", "join", 1.0)], "term string, expansion string, weight double")
     out2 = {r.term: r.qtf for r in expand_query_terms(qt, exp2, expansion_weight=1.0).collect()}
     assert out2["join"] == 3.0
+
+
+def test_spell_correct_semantics(spark):
+    """Deletion-neighborhood blocking + levenshtein verify: exact hits
+    self-suggest at distance 0, distance-1 typos resolve to the highest
+    -df candidate, out-of-range strings get NULLs."""
+    from information_retrieval_system_spark.query.spelling import correct_terms
+
+    vocab = spark.createDataFrame(
+        [("spark", 100), ("stark", 40), ("join", 80), ("joins", 70)],
+        "term string, df long",
+    )
+    q = spark.createDataFrame(
+        [("spark",), ("spork",), ("joinz",), ("qqqqq",)], "qterm string")
+    got = {r.qterm: (r.suggestion, r.distance) for r in
+           correct_terms(vocab, q, max_distance=1).collect()}
+    assert got["spark"] == ("spark", 0)      # exact hit
+    assert got["spork"] == ("spark", 1)      # beats 'stark' on df
+    assert got["joinz"] == ("join", 1)       # del beats... df rank: join 80 > joins 70
+    assert got["qqqqq"] == (None, None)      # no candidate within 1

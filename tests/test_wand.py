@@ -173,3 +173,20 @@ def test_batch_wand_served_bucket_pruned(blocked, spark, tmp_path):
                                queries, k=5, cfg=cfg, block_span=SPAN)
     key = lambda rs: sorted((r.qid, r.rank, r.doc_int, round(r.score, 9)) for r in rs)
     assert key(served.collect()) == key(mem.collect())
+
+
+def test_route_bm25_flips_on_threshold_value_invisibly(blocked, spark):
+    """Routing must pick WAND above the posting-volume threshold and
+    exhaustive below — with IDENTICAL top-k values either way."""
+    from information_retrieval_system_spark.query.wand import route_bm25
+
+    cfg, index, blocks, dl_blocks = blocked
+    qt = analyze_query_terms(spark, "spark join merge", cfg)
+    lo, route_lo = route_bm25(index, blocks, dl_blocks, qt, k=10, cfg=cfg,
+                              block_span=SPAN, wand_min_postings=1)
+    hi, route_hi = route_bm25(index, blocks, dl_blocks, qt, k=10, cfg=cfg,
+                              block_span=SPAN, wand_min_postings=10**9)
+    assert route_lo == "wand" and route_hi == "exhaustive"
+    a = [(r.doc_id, round(r.score, 9)) for r in lo.collect()]
+    b = [(r.doc_id, round(r.score, 9)) for r in hi.collect()]
+    assert a == b and len(a) == 10
