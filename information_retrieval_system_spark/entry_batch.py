@@ -282,14 +282,16 @@ LIMIT {EQ.TOPK}
 
 # --- spelling correction (SymSpell-style) -----------------------------------
 
-MISSPELLED = ("spork", "jion", "mergee", "windoww", "batch", "zzzzqq")
+#: "atble" is an adjacent transposition of "table" — Levenshtein 2 but
+#: Damerau/OSA 1, exercising the transposition branch of the verifier
+MISSPELLED = ("spork", "jion", "mergee", "windoww", "batch", "zzzzqq", "atble")
 
 
 def q_spell_correct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distance-1 query-term correction against the index vocabulary:
-    deletion-variant equi-join blocking + levenshtein verify, top-1 by
-    (distance, df, term).  Exact hits self-suggest; no-candidate terms
-    keep NULLs."""
+    """Damerau-distance-1 query-term correction against the index
+    vocabulary: deletion-variant equi-join blocking + levenshtein-or-
+    transposition verify, top-1 by (distance, df, term).  Exact hits
+    self-suggest; no-candidate terms keep NULLs."""
     from .query.spelling import correct_terms
 
     ix = EQ.get_index(spark, sf_dir)
@@ -306,6 +308,12 @@ def _sql_spell_correct() -> str:
     qs = ", ".join(f"'{t}'" for t in MISSPELLED)
     dels = ("list_distinct(list_append("
             "list_transform(range(length({c})), i -> substr({c}, 1, i) || substr({c}, i + 2)), {c}))")
+    # adjacent-swap variants (i = 1..len-1); range(1, n) is [1, n) so no
+    # short-string guard is needed — the mirror of
+    # spelling.transposition_variants_expr
+    trans = ("list_transform(range(1, length({c})), "
+             "i -> substr({c}, 1, i - 1) || substr({c}, i + 1, 1) "
+             "|| substr({c}, i, 1) || substr({c}, i + 2))")
     return f"""
 WITH {EQ.TOKS_CTE},
 post AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
@@ -313,11 +321,14 @@ vocab AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term),
 vidx AS (SELECT term, df, unnest({dels.format(c='term')}) AS variant FROM vocab),
 q AS (SELECT unnest([{qs}]) AS qterm),
 qv AS (SELECT qterm, unnest({dels.format(c='qterm')}) AS variant FROM q),
-cand AS (
-  SELECT DISTINCT qterm, term, df, levenshtein(qterm, term) AS distance
+cand0 AS (
+  SELECT DISTINCT qterm, term, df,
+         CASE WHEN qterm <> term AND list_contains({trans.format(c='qterm')}, term)
+              THEN least(levenshtein(qterm, term), 1)
+              ELSE levenshtein(qterm, term) END AS distance
   FROM qv JOIN vidx USING (variant)
-  WHERE levenshtein(qterm, term) <= 1
 ),
+cand AS (SELECT * FROM cand0 WHERE distance <= 1),
 best AS (
   SELECT qterm, term AS suggestion, df, distance,
          row_number() OVER (PARTITION BY qterm

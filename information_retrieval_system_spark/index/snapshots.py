@@ -55,29 +55,63 @@ def commit_snapshot(
     parent: int | None = None,
 ) -> int:
     """Write the tables as a NEW immutable snapshot and append it to the
-    log (atomic pointer swap).  Returns the new snapshot id."""
+    log (atomic pointer swap).  Returns the new snapshot id.
+
+    Concurrency-safe like an Iceberg CAS commit, with two separate
+    atomic steps so the slow data write runs WITHOUT any lock held:
+
+    1. claim a snapshot id by ``os.mkdir(v<N>)`` — the mkdir is the
+       atomic claim; a racing committer gets ``FileExistsError`` and
+       retries with the next id (never two writers in one directory);
+    2. append to the log under an ``O_CREAT|O_EXCL`` lock file,
+       RE-READING the log inside the lock — a committer that claimed a
+       lower id but finished later appends later, so ``log[-1]`` is
+       always the latest COMMITTED snapshot (commit order, like a
+       catalog's pointer swap) and no entry can be silently dropped.
+    """
+    import time
+
     os.makedirs(root, exist_ok=True)
-    log = snapshot_log(root)
-    sid = (max(e["id"] for e in log) + 1) if log else 1
-    if parent is None:
-        parent = log[-1]["id"] if log else None
-    sdir = os.path.join(root, f"v{sid}")
-    if os.path.exists(sdir):
-        raise RuntimeError(f"snapshot dir {sdir} already exists — snapshots are immutable")
+    # step 1: claim an id (mkdir is atomic on POSIX)
+    sid = (max((e["id"] for e in snapshot_log(root)), default=0)) + 1
+    while True:
+        sdir = os.path.join(root, f"v{sid}")
+        try:
+            os.mkdir(sdir)
+            break
+        except FileExistsError:
+            sid += 1  # another committer claimed it (or an old dir exists)
     write_index(tables, sdir, cfg)
-    entry = {
-        "id": sid,
-        "parent": parent,
-        "operation": operation,
-        "note": note,
-        "n_docs": tables.stats.get("n_docs"),
-        "n_postings": tables.stats.get("n_postings"),
-        "dir": f"v{sid}",
-    }
-    tmp = _log_path(root) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(log + [entry], f, indent=2)
-    os.replace(tmp, _log_path(root))
+    # step 2: read-modify-replace the log under an exclusive lock file
+    lock = _log_path(root) + ".lock"
+    for _ in range(2400):  # ~2 min bound, then fail loud
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+            break
+        except FileExistsError:
+            time.sleep(0.05)
+    else:
+        raise TimeoutError(f"could not acquire snapshot log lock {lock}")
+    try:
+        log = snapshot_log(root)  # re-read under the lock
+        if parent is None:
+            parent = log[-1]["id"] if log else None
+        entry = {
+            "id": sid,
+            "parent": parent,
+            "operation": operation,
+            "note": note,
+            "n_docs": tables.stats.get("n_docs"),
+            "n_postings": tables.stats.get("n_postings"),
+            "dir": f"v{sid}",
+        }
+        tmp = _log_path(root) + f".tmp{sid}"
+        with open(tmp, "w") as f:
+            json.dump(log + [entry], f, indent=2)
+        os.replace(tmp, _log_path(root))
+    finally:
+        os.unlink(lock)
     return sid
 
 

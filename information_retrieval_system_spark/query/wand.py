@@ -61,6 +61,17 @@ def _should_prune_dl(df_sum: float, n_docs: int, block_span: int) -> bool:
     return df_sum <= n_blocks / 2
 
 
+def collect_query_term_rows(terms: DataFrame, qset: list[str],
+                            blocks: DataFrame, term_buckets: int | None) -> list:
+    """ONE driver job per query: (term, df) rows for the query's terms,
+    plus each term's ``tbucket`` partition id when the serving layout
+    carries one (bit-identical xxhash64, evaluated by Spark)."""
+    sel = [F.col("term"), F.col("df")]
+    if term_buckets and "tbucket" in blocks.columns:
+        sel.append(F.pmod(F.xxhash64("term"), F.lit(term_buckets)).cast("int").alias("tb"))
+    return terms.filter(F.col("term").isin(list(qset))).select(*sel).collect()
+
+
 def _kernel_factory(term_stats: dict[str, tuple[float, float]], k: int,
                     k1: float, b: float, avgdl: float, span: int, qkey: str):
     """term_stats: term -> (idf, tf_ub_factor) where the block ub is
@@ -146,6 +157,7 @@ def bm25_topk_wand(
     docs: DataFrame | None = None,
     term_buckets: int | None = None,
     prune_dl: bool | str = "auto",
+    precollected_trows: list | None = None,
 ) -> DataFrame:
     """-> (doc_int, score) top-k (plus doc_id when ``docs`` given).
 
@@ -174,10 +186,12 @@ def bm25_topk_wand(
     spark = blocks.sparkSession
     n, avgdl = stats["n_docs"], float(stats["avgdl"])
     qset = sorted(set(query_terms))
-    sel = [F.col("term"), F.col("df")]
-    if term_buckets and "tbucket" in blocks.columns:
-        sel.append(F.pmod(F.xxhash64("term"), F.lit(term_buckets)).cast("int").alias("tb"))
-    trows = terms.filter(F.col("term").isin(qset)).select(*sel).collect()
+    if precollected_trows is not None:
+        # a router already collected (term, df[, tb]) — reuse it instead
+        # of issuing a second driver job for the same rows
+        trows = [r for r in precollected_trows if r.term in set(qset)]
+    else:
+        trows = collect_query_term_rows(terms, qset, blocks, term_buckets)
     if not trows:
         out = spark.createDataFrame([], "doc_int long, score double")
         return out
@@ -295,6 +309,7 @@ def batch_bm25_topk_wand(
     cfg: EngineConfig = DEFAULT_CONFIG,
     block_span: int = DEFAULT_BLOCK_SPAN,
     term_buckets: int | None = None,
+    precollected_trows: list | None = None,
 ) -> DataFrame:
     """Whole-query-set block-max WAND in ONE plan -> (qid, doc_int,
     rank, score) exact top-k per query.
@@ -314,10 +329,11 @@ def batch_bm25_topk_wand(
     spark = blocks.sparkSession
     n, avgdl = stats["n_docs"], float(stats["avgdl"])
     union_terms = sorted({t for ts in queries.values() for t in ts})
-    sel = [F.col("term"), F.col("df")]
-    if term_buckets and "tbucket" in blocks.columns:
-        sel.append(F.pmod(F.xxhash64("term"), F.lit(term_buckets)).cast("int").alias("tb"))
-    trows = terms.filter(F.col("term").isin(union_terms)).select(*sel).collect()
+    if precollected_trows is not None:
+        uset = set(union_terms)
+        trows = [r for r in precollected_trows if r.term in uset]
+    else:
+        trows = collect_query_term_rows(terms, union_terms, blocks, term_buckets)
     dfmap = {r.term: float(r.df) for r in trows}
     stats_by_qid: dict[int, dict[str, float]] = {}
     pairs = []
@@ -397,18 +413,103 @@ def route_bm25(
     """
     from . import scoring
 
-    qset = [r.term for r in query_terms.select("term").distinct().collect()]
-    dfs = {r.term: int(r.df) for r in
-           index.terms.filter(F.col("term").isin(qset)).select("term", "df").collect()}
-    total_postings = sum(dfs.values())
+    spark = query_terms.sparkSession
+    # ONE driver job carries the routing decision AND the WAND path's
+    # term stats: distinct query terms joined to the vocabulary
+    qset = sorted({r.term for r in query_terms.select("term").distinct().collect()})
+    trows = collect_query_term_rows(index.terms, qset, blocks, term_buckets)
+    total_postings = sum(int(r.df) for r in trows)
     if total_postings >= wand_min_postings:
         out = bm25_topk_wand(blocks, dl_blocks, index.terms, index.stats,
                              qset, k=k, cfg=cfg, block_span=block_span,
                              docs=None if index.stats.get("int_doc_ids") else index.docs,
-                             term_buckets=term_buckets)
+                             term_buckets=term_buckets,
+                             precollected_trows=trows)
         if index.stats.get("int_doc_ids"):
             out = out.select(F.col("doc_int").alias("doc_id"), "score")
         else:
             out = out.select("doc_id", "score")
         return out, "wand"
-    return scoring.bm25_search(index, query_terms, k=k, cfg=cfg), "exhaustive"
+    # deduplicated terms on the exhaustive route too: bm25_search sums
+    # one tscore per query_terms ROW, so duplicate term rows would
+    # double-count on this route only — routing must stay value-invisible
+    qt = spark.createDataFrame([(t,) for t in qset], "term string")
+    return scoring.bm25_search(index, qt, k=k, cfg=cfg), "exhaustive"
+
+
+def route_batch_bm25(
+    index,
+    blocks: DataFrame,
+    dl_blocks: DataFrame,
+    query_terms: DataFrame,
+    k: int = 10,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    block_span: int = DEFAULT_BLOCK_SPAN,
+    term_buckets: int | None = None,
+    wand_min_postings: int = 200_000,
+) -> tuple[DataFrame, dict[int, str]]:
+    """Route a WHOLE query set (qid, term, qtf) with ONE driver job,
+    then execute each route as a single batch plan — the full Run_B6
+    query-set shape (Search_FR.java:1265-1319) in at most two scoring
+    plans regardless of query count:
+
+    - one collect fetches every distinct query term's (df[, tbucket])
+      row; per-qid ``Σ df`` (the exact posting-row count the exhaustive
+      plan would score) decides the route;
+    - the WAND subset runs through ``batch_bm25_topk_wand`` (one
+      cogroup for all of them, threaded trows — no second collect);
+    - the rest run through ``batch_bm25_search`` (one scan + two
+      shuffles for all of them);
+    - results union into one (qid, doc_id, rank, score) frame.
+
+    Both paths are exact, so routing is value-invisible; returns
+    (result, {qid: route}).  Duplicate (qid, term) rows are collapsed
+    before either path (BM25 counts a term once per query —
+    OkapiBM25_FR.java:330-404)."""
+    from . import scoring  # noqa: F401  (parity with route_bm25 imports)
+    from .batch import batch_bm25_search
+
+    spark = query_terms.sparkSession
+    qpairs = [(int(r.qid), r.term) for r in
+              query_terms.select("qid", "term").distinct().collect()]
+    queries: dict[int, list[str]] = {}
+    for qid, t in qpairs:
+        queries.setdefault(qid, []).append(t)
+    union_terms = sorted({t for _, t in qpairs})
+    trows = collect_query_term_rows(index.terms, union_terms, blocks, term_buckets)
+    dfmap = {r.term: int(r.df) for r in trows}
+    routes = {
+        qid: ("wand" if sum(dfmap.get(t, 0) for t in ts) >= wand_min_postings
+              else "exhaustive")
+        for qid, ts in queries.items()
+    }
+    parts = []
+    wand_queries = {q: ts for q, ts in queries.items() if routes[q] == "wand"}
+    if wand_queries:
+        w = batch_bm25_topk_wand(blocks, dl_blocks, index.terms, index.stats,
+                                 wand_queries, k=k, cfg=cfg,
+                                 block_span=block_span,
+                                 term_buckets=term_buckets,
+                                 precollected_trows=trows)
+        if index.stats.get("int_doc_ids"):
+            w = w.select("qid", F.col("doc_int").alias("doc_id"), "rank", "score")
+        else:
+            w = (
+                w.join(index.docs.select("doc_int", "doc_id"), "doc_int", "left")
+                .select("qid", "doc_id", "rank", "score")
+            )
+        parts.append(w)
+    ex_qids = [q for q, r in routes.items() if r == "exhaustive"]
+    if ex_qids:
+        qt = spark.createDataFrame(
+            [(q, t, 1.0) for q in ex_qids for t in queries[q]],
+            "qid long, term string, qtf double",
+        )
+        parts.append(batch_bm25_search(index, qt, k=k, cfg=cfg))
+    if not parts:
+        return (spark.createDataFrame([], "qid long, doc_id long, rank long, score double"),
+                routes)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out, routes

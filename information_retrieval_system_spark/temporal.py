@@ -119,18 +119,21 @@ def range_join_buckets(
     one output row each.
     """
     fb = facts.withColumn("_bkt", F.floor(F.col(value_col) / F.lit(width)).cast("long"))
-    ib = intervals.withColumn(
-        "_bkt",
-        F.explode(
-            F.sequence(
-                F.floor(F.col(lo_col) / F.lit(width)).cast("long"),
-                # hi is exclusive: a hi exactly on a bucket edge does not
-                # reach into the next bucket
-                F.floor(
-                    (F.col(hi_col) - F.lit(1e-9)) / F.lit(width)
-                ).cast("long"),
-            )
-        ),
+    start = F.floor(F.col(lo_col) / F.lit(width)).cast("long")
+    # hi is exclusive: a hi exactly on a bucket edge does not reach into
+    # the next bucket.  The edge test is an exact comparison (== k*width)
+    # rather than an epsilon subtraction, which double precision absorbs
+    # for |hi| beyond ~1e7/width.
+    stop_raw = F.floor(F.col(hi_col) / F.lit(width)).cast("long")
+    stop = stop_raw - F.when(
+        F.col(hi_col) == stop_raw.cast("double") * F.lit(width), F.lit(1)
+    ).otherwise(F.lit(0)).cast("long")
+    ib = (
+        # empty/inverted intervals produce no fact matches but WOULD
+        # explode a DESCENDING sequence(start, stop) — drop them first,
+        # and clamp stop (belt-and-braces: hi > lo implies stop >= start)
+        intervals.filter(F.col(hi_col) > F.col(lo_col))
+        .withColumn("_bkt", F.explode(F.sequence(start, F.greatest(start, stop))))
     )
     return (
         fb.join(ib, "_bkt")

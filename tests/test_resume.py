@@ -108,12 +108,47 @@ def test_snapshot_time_travel_and_lineage(spark, tmp_path):
     chain = snapshot_lineage(root)
     assert [(e["id"], e["parent"], e["operation"]) for e in chain] == [
         (v2, v1, "delete"), (v1, None, "initial-build")]
-    # immutability: re-committing onto an existing vN dir is refused
+    # immutability: a commit NEVER writes into an existing vN dir — with
+    # the log rolled back so the next id would collide with v2's orphan
+    # directory, the mkdir claim skips to a fresh id instead (the CAS
+    # analog of Iceberg allocating a new snapshot id past a failed
+    # commit's leftovers), and v2's bytes are untouched
     import os, json
     log_p = os.path.join(root, "snapshots.json")
     log = json.load(open(log_p))
-    log[-1]["id"] = v1  # forge a log that would target v1's dir
+    v2_terms = sorted((r.term, r.df) for r in read_snapshot(spark, root, v2).terms.collect())
     json.dump(log[:-1], open(log_p, "w"))  # roll log back to just v1
-    with pytest.raises(RuntimeError):
-        # next id would be v2 again, whose directory already exists
-        commit_snapshot(cur, root, cfg, operation="append")
+    v3 = commit_snapshot(cur, root, cfg, operation="append")
+    assert v3 > v2  # claimed a fresh dir, not v2's
+    assert os.path.isdir(os.path.join(root, f"v{v3}"))
+    # the orphaned v2 directory is byte-identical after the new commit
+    json.dump(log, open(log_p, "w"))  # restore the full log
+    assert sorted((r.term, r.df)
+                  for r in read_snapshot(spark, root, v2).terms.collect()) == v2_terms
+
+
+def test_snapshot_concurrent_commits(spark, tmp_path):
+    """N racing committers -> N distinct snapshot entries, none dropped:
+    the mkdir id claim + locked log append close the read-modify-write
+    race ADVICE flagged (two committers computing the same sid)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from information_retrieval_system_spark.config import EngineConfig
+    from information_retrieval_system_spark.index.builder import build_index
+    from information_retrieval_system_spark.index.snapshots import (
+        commit_snapshot, snapshot_log)
+
+    cfg = EngineConfig(use_stopwords=False, use_stemmer=False)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    tables = build_index(docs, cfg, doc_col="doc_id", text_col="text",
+                         with_positions=False)
+    root = str(tmp_path / "snaps")
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        sids = list(ex.map(
+            lambda i: commit_snapshot(tables, root, cfg, note=f"racer-{i}"),
+            range(4)))
+    assert sorted(sids) == sorted(set(sids))  # all distinct
+    log = snapshot_log(root)
+    assert sorted(e["id"] for e in log) == sorted(sids)  # none dropped
+    assert len({e["dir"] for e in log}) == 4
