@@ -432,11 +432,9 @@ LIMIT {EQ.TOPK}
 _BLOCK_CACHE: dict[str, tuple] = {}
 
 
-def q_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact top-k via the block-max WAND kernel; oracle = the exhaustive
-    BM25 SQL (WAND prunes but never changes the result)."""
+def get_blocks(spark: SparkSession, sf_dir: str) -> tuple:
+    """(blocks, dl_blocks) at block_span=256, cached per sf_dir."""
     from .index.compression import build_block_postings, build_dl_blocks
-    from .query.wand import bm25_topk_wand
 
     ix = EQ.get_index(spark, sf_dir)
     if sf_dir not in _BLOCK_CACHE:
@@ -444,7 +442,16 @@ def q_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         dlb = build_dl_blocks(ix.docs, block_span=256).cache()
         blocks.count(); dlb.count()
         _BLOCK_CACHE[sf_dir] = (blocks, dlb)
-    blocks, dlb = _BLOCK_CACHE[sf_dir]
+    return _BLOCK_CACHE[sf_dir]
+
+
+def q_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k via the block-max WAND kernel; oracle = the exhaustive
+    BM25 SQL (WAND prunes but never changes the result)."""
+    from .query.wand import bm25_topk_wand
+
+    ix = EQ.get_index(spark, sf_dir)
+    blocks, dlb = get_blocks(spark, sf_dir)
     out = bm25_topk_wand(blocks, dlb, ix.terms, ix.stats,
                          list(EQ.QUERY_TERMS), k=EQ.TOPK, cfg=EQ.NOSTEM_CFG,
                          block_span=256, docs=ix.docs)
@@ -457,16 +464,10 @@ def q_batch_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one cogroup for all queries, dl fanned out per qid by
     construction) — exact, so the oracle is the exhaustive batch BM25
     SQL.  Integer doc keys mean doc_int == doc_id."""
-    from .index.compression import build_block_postings, build_dl_blocks
     from .query.wand import batch_bm25_topk_wand
 
     ix = EQ.get_index(spark, sf_dir)
-    if sf_dir not in _BLOCK_CACHE:
-        blocks = build_block_postings(ix.postings, block_span=256).cache()
-        dlb = build_dl_blocks(ix.docs, block_span=256).cache()
-        blocks.count(); dlb.count()
-        _BLOCK_CACHE[sf_dir] = (blocks, dlb)
-    blocks, dlb = _BLOCK_CACHE[sf_dir]
+    blocks, dlb = get_blocks(spark, sf_dir)
     queries = {qid: list(ts) for qid, ts in BATCH_QUERIES}
     out = batch_bm25_topk_wand(blocks, dlb, ix.terms, ix.stats, queries,
                                k=BATCH_K, cfg=EQ.NOSTEM_CFG, block_span=256)
@@ -531,7 +532,164 @@ LIMIT {PHRASE_K}
 """
 
 
+# --- spelling correction IN the query lifecycle ------------------------------
+
+#: a fully-typo'd query: substitution, adjacent transposition, insertion.
+#: None of these exist in the vocabulary, so the RAW query scores 0 docs
+#: (the reference's silent vocabulary-probe miss, Indexer.java:1204-1234);
+#: the corrected query ("spark join merge") retrieves normally.
+TYPO_QUERY = ("spork", "jion", "mergee")
+
+
+def q_corrected_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo'd query -> SymSpell correction against the index vocabulary
+    -> BM25 top-k, all in-plan (the suggestion set is a DataFrame fed
+    straight into the scoring join — no driver round-trip between the
+    corrector and the scorer)."""
+    from .query.spelling import correct_terms
+
+    ix = EQ.get_index(spark, sf_dir)
+    q = spark.createDataFrame([(t,) for t in TYPO_QUERY], "qterm string")
+    corrected = correct_terms(ix.terms.select("term", "df"), q, max_distance=1)
+    qt = (
+        corrected.filter(F.col("suggestion").isNotNull())
+        .select(F.col("suggestion").alias("term"))
+        .distinct()
+    )
+    res = scoring.bm25_search(ix, qt, k=EQ.TOPK, cfg=EQ.NOSTEM_CFG)
+    return res.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      F.round("score", 4).alias("score"))
+
+
+def _sql_corrected_bm25() -> str:
+    qs = ", ".join(f"'{t}'" for t in TYPO_QUERY)
+    dels = ("list_distinct(list_append("
+            "list_transform(range(length({c})), i -> substr({c}, 1, i) || substr({c}, i + 2)), {c}))")
+    trans = ("list_transform(range(1, length({c})), "
+             "i -> substr({c}, 1, i - 1) || substr({c}, i + 1, 1) "
+             "|| substr({c}, i, 1) || substr({c}, i + 2))")
+    return f"""
+WITH {EQ.TOKS_CTE},
+post AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+vocab AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term),
+vidx AS (SELECT term, df, unnest({dels.format(c='term')}) AS variant FROM vocab),
+q0 AS (SELECT unnest([{qs}]) AS qterm),
+qv AS (SELECT qterm, unnest({dels.format(c='qterm')}) AS variant FROM q0),
+cand0 AS (
+  SELECT DISTINCT qterm, term, df,
+         CASE WHEN qterm <> term AND list_contains({trans.format(c='qterm')}, term)
+              THEN least(levenshtein(qterm, term), 1)
+              ELSE levenshtein(qterm, term) END AS distance
+  FROM qv JOIN vidx USING (variant)
+),
+best AS (
+  SELECT qterm, term AS suggestion,
+         row_number() OVER (PARTITION BY qterm
+                            ORDER BY distance ASC, df DESC, term ASC) AS rn
+  FROM cand0 WHERE distance <= 1
+),
+q AS (SELECT DISTINCT suggestion AS term FROM best WHERE rn = 1),
+dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM post GROUP BY 1),
+dl AS (SELECT d.doc_id, CAST(coalesce(t.dl, 0) AS DOUBLE) AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1) t USING (doc_id)),
+stats AS (SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n,
+                 CAST((SELECT count(*) FROM toks) // (SELECT count(*) FROM documents) AS DOUBLE) AS avgdl),
+scored AS (
+  SELECT p.doc_id,
+         (ln((s.n - f.df + 0.5) / (f.df + 0.5)) / ln(2))
+           * p.tf * ({EQ.K1} + 1)
+           / (p.tf + {EQ.K1} * (1 - {EQ.B} + {EQ.B} * d.dl / s.avgdl)) AS ts
+  FROM post p JOIN q USING (term) JOIN dft f USING (term)
+  JOIN dl d USING (doc_id) CROSS JOIN stats s
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, round(sum(ts), 4) AS score
+FROM scored GROUP BY doc_id
+ORDER BY sum(ts) DESC, doc_id ASC
+LIMIT {EQ.TOPK}
+"""
+
+
+# --- EXTERNAL expansion dictionary (shipped fixture, R6/R7) ------------------
+
+import os as _os
+
+EXPANSION_FIXTURE = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+    "fixtures", "expansion_dict.jsonl")
+
+#: query whose terms hit the external dictionary's synonym (join->merge)
+#: and antonym (fast->slow, big->small) entries
+EXTERNAL_EXP_QUERY = ("join", "fast", "big")
+
+
+def q_external_expansion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6/R7 with a SHIPPED external dictionary: the committed
+    fixtures/expansion_dict.jsonl (WordNet-slot table, reference weights
+    1.0/2.0 synonym and -1.5 antonym, Search_FR.java:281-623,641-750)
+    drives expand_query_terms, then VSM top-k (qtf makes the weights
+    observable).  Expansions absent from the corpus ("flame") are
+    harmless by construction."""
+    exp = spark.read.json(
+        EXPANSION_FIXTURE,
+        schema="term string, expansion string, weight double, kind string",
+    ).select("term", "expansion", "weight")
+    ix = EQ.get_index(spark, sf_dir)
+    base = spark.createDataFrame([(t, 1.0) for t in EXTERNAL_EXP_QUERY],
+                                 "term string, qtf double")
+    qt = expand_query_terms(base, exp, expansion_weight=1.0)
+    res = scoring.vsm_search(ix, qt, k=EQ.TOPK, cfg=EQ.NOSTEM_CFG)
+    return res.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      F.round("score", 4).alias("score"))
+
+
+def _sql_external_expansion() -> str:
+    terms = "[" + ", ".join(f"'{t}'" for t in EXTERNAL_EXP_QUERY) + "]"
+    return f"""
+WITH {EQ.TOKS_CTE},
+post AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM post GROUP BY 1),
+stats AS (SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n),
+norms AS (
+  SELECT p.doc_id,
+         sum(pow(p.tf * ln(floor((s.n + 1) / f.df)) / ln(2), 2)) AS norm2
+  FROM post p JOIN dft f USING (term) CROSS JOIN stats s
+  GROUP BY p.doc_id
+),
+base AS (SELECT unnest({terms}) AS term, 1.0 AS qtf),
+ex AS (
+  SELECT term, expansion, weight
+  FROM read_json('{EXPANSION_FIXTURE}', format='newline_delimited',
+                 columns={{'term': 'VARCHAR', 'expansion': 'VARCHAR',
+                           'weight': 'DOUBLE', 'kind': 'VARCHAR'}})
+),
+extra AS (SELECT e.expansion AS term, b.qtf * e.weight * 1.0 AS qtf
+          FROM base b JOIN ex e USING (term)),
+qterms AS (
+  SELECT term, sum(qtf) AS qtf FROM (
+    SELECT term, qtf FROM base UNION ALL SELECT term, qtf FROM extra)
+  GROUP BY term
+),
+qw AS (SELECT q.term, q.qtf * ln(s.n / f.df) / ln(2) AS w_q
+       FROM qterms q JOIN dft f USING (term) CROSS JOIN stats s),
+qnorm AS (SELECT sum(w_q * w_q) AS q_norm2 FROM qw),
+dots AS (
+  SELECT p.doc_id, sum(p.tf * (ln(s.n / f.df) / ln(2)) * w.w_q) AS dot
+  FROM post p JOIN qw w USING (term) JOIN dft f USING (term) CROSS JOIN stats s
+  GROUP BY p.doc_id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       round(CASE WHEN n.norm2 > 0 AND qn.q_norm2 > 0
+                  THEN d.dot / sqrt(n.norm2 * qn.q_norm2) ELSE 0 END, 4) AS score
+FROM dots d JOIN norms n USING (doc_id) CROSS JOIN qnorm qn
+ORDER BY (CASE WHEN n.norm2 > 0 AND qn.q_norm2 > 0
+               THEN d.dot / sqrt(n.norm2 * qn.q_norm2) ELSE 0 END) DESC, d.doc_id ASC
+LIMIT {EQ.TOPK}
+"""
+
+
 BATCH_QUERIES_REG = {
+    "corrected_bm25": q_corrected_bm25,
+    "external_expansion_topk": q_external_expansion_topk,
     "phrase_search": q_phrase_search,
     "batch_bm25": q_batch_bm25,
     "field_term_stats": q_field_term_stats,
@@ -546,6 +704,8 @@ BATCH_QUERIES_REG = {
 }
 
 BATCH_ORACLES = {
+    "corrected_bm25": _sql_corrected_bm25(),
+    "external_expansion_topk": _sql_external_expansion(),
     "phrase_search": SQL_PHRASE_SEARCH,
     "batch_bm25": SQL_BATCH_BM25,
     "field_term_stats": SQL_FIELD_TERM_STATS,

