@@ -230,3 +230,65 @@ def test_dedup_keep_canonical_null_text(spark):
     kept = sorted(r.doc_id for r in
                   dedup.drop_duplicates_keep_canonical(df, "text", "doc_id").collect())
     assert kept == [1, 3, 5]
+
+
+def test_embedding_near_dup_derived_bits_bound_buckets(spark):
+    """The DEFAULT blocking must stay scale-safe: at N=50k the derived
+    bit count keeps every LSH bucket within a small multiple of the
+    target population (fixed bits would put N/2^bits=3125 rows in each
+    bucket at 4 bits and grow linearly from there)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from information_retrieval_system_spark.textops.similarity import (
+        DEFAULT_TARGET_BUCKET_ROWS, derived_lsh_bits, hyperplanes,
+        lsh_bucket_expr, oversized_lsh_buckets)
+
+    n, dim = 50_000, 8
+    rng = np.random.RandomState(0)
+    vecs = rng.randn(n, dim).astype(float)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    ).repartition(8)
+
+    bits = derived_lsh_bits(n)
+    assert bits == 6  # ceil(log2(50000/1024))
+    planes = hyperplanes(dim, bits, 7919)
+    sizes = (
+        emb.select(lsh_bucket_expr(F.col("embedding"), planes).alias("_blk"))
+        .groupBy("_blk").agg(F.count("*").alias("bsz"))
+    ).collect()
+    assert len(sizes) == 2 ** bits  # all buckets populated
+    biggest = max(r.bsz for r in sizes)
+    # centered data: sign-bit buckets are near-uniform; 4x target is a
+    # loose bound that still catches a collapsed (fixed-bits) layout
+    assert biggest <= 4 * DEFAULT_TARGET_BUCKET_ROWS
+    # audit frame agrees with the raw group-by
+    assert oversized_lsh_buckets(emb, planes, biggest).count() == 0
+    assert oversized_lsh_buckets(emb, planes, biggest - 1).count() >= 1
+
+
+def test_embedding_near_dup_bucket_cap_drops_cluster(spark):
+    """max_bucket_size excludes a degenerate all-identical cluster from
+    pairing while normal buckets still pair."""
+    import numpy as np
+
+    from information_retrieval_system_spark.textops.similarity import (
+        embedding_near_dup_pairs)
+
+    rng = np.random.RandomState(1)
+    rows = [(i, [float(x) for x in rng.randn(4)]) for i in range(50)]
+    rows += [(1000 + i, [1.0, 0.0, 0.0, 0.0]) for i in range(30)]  # heavy cluster
+    rows += [(2000, [0.0, 1.0, 0.0, 0.0]), (2001, [0.0, 1.0, 0.0, 0.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    uncapped = embedding_near_dup_pairs(emb, threshold=0.999, lsh_bits=2)
+    capped = embedding_near_dup_pairs(emb, threshold=0.999, lsh_bits=2,
+                                      max_bucket_size=20)
+    ids_capped = {(r.id_a, r.id_b) for r in capped.collect()}
+    ids_uncapped = {(r.id_a, r.id_b) for r in uncapped.collect()}
+    # the 30-strong cluster pairs only without the cap
+    assert any(a >= 1000 and b < 2000 for a, b in ids_uncapped)
+    assert not any(a >= 1000 and b < 2000 for a, b in ids_capped)
+    assert ids_capped <= ids_uncapped
