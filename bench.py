@@ -92,7 +92,14 @@ def run_suite(parallelism: int, sf_dir: str) -> dict:
                                reps=2)
         zipf["zipf_n_docs"] = zipf_docs
         zipf["zipf_build"] = z["build_sec"]
+        # split since r4: index_write = plain bucketed layout,
+        # encode_write = compressed-block encode + serving write (fed
+        # from the written postings table), both min-over-reps — r3's
+        # single cold number conflated them with build laziness
+        zipf["zipf_index_write"] = z["index_write_sec"]
         zipf["zipf_encode_write"] = z["encode_write_sec"]
+        if "encode_postings_per_sec" in z:
+            zipf["zipf_encode_postings_per_sec"] = z["encode_postings_per_sec"]
         ex_tot = sum(q["exhaustive_sec"] for q in z["queries"].values())
         wd_tot = sum(q["wand_sec"] for q in z["queries"].values())
         zipf["zipf_q_exhaustive"] = round(ex_tot, 4)

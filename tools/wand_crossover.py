@@ -70,21 +70,50 @@ def run_zipf_crossover(spark, n_docs: int, vocab: int, block_span: int = 4096,
     ix_dir, bl_dir = base + "_ix", base + "_blocks"
     out: dict = {"n_docs": n_docs, "vocab": vocab, "block_span": block_span}
 
+    # stage boundaries are PINNED by forcing materialization inside each
+    # timer: build_sec ends only after every index table is realized, so
+    # internal laziness changes can never shift work between the build
+    # and write columns again (r2->r3: removing an eager barrier inside
+    # build_index moved the first postings materialization into
+    # encode_write_sec, which read as a 2x "regression")
     t0 = time.perf_counter()
     corpus = zipf_corpus(spark, n_docs, vocab=vocab).cache()
     corpus.count()
     ix = build_index(corpus, cfg, doc_col="doc_id", text_col="text", with_positions=False)
+    ix.postings.count(); ix.docs.count(); ix.terms.count()
     out["build_sec"] = round(time.perf_counter() - t0, 2)
-    t0 = time.perf_counter()
-    shutil.rmtree(ix_dir, ignore_errors=True)
-    write_index(ix, ix_dir, cfg)
-    blocks = build_block_postings(ix.postings, block_span=block_span)
-    dlb = build_dl_blocks(ix.docs, block_span=block_span)
-    shutil.rmtree(bl_dir, ignore_errors=True)
-    write_block_index(blocks, dlb, bl_dir, term_buckets=term_buckets)
-    out["encode_write_sec"] = round(time.perf_counter() - t0, 2)
+
+    # plain-layout write (bucketed postings parquet), min over reps —
+    # the same interleaved-min methodology the scaling bench uses, so
+    # host drift can't masquerade as a code regression
+    t_ixw = float("inf")
+    for _ in range(max(reps, 1)):
+        t0 = time.perf_counter()
+        shutil.rmtree(ix_dir, ignore_errors=True)
+        write_index(ix, ix_dir, cfg)
+        t_ixw = min(t_ixw, time.perf_counter() - t0)
+    out["index_write_sec"] = round(t_ixw, 2)
     corpus.unpersist()
     spark.catalog.clearCache()
+
+    # compressed-block encode + serving write, fed from the WRITTEN
+    # postings table (the production shape: the encoder is a separate
+    # job reading the postings table, not a continuation of the build
+    # lineage), min over reps
+    served_postings = spark.read.parquet(os.path.join(ix_dir, "postings")).drop("bucket")
+    served_docs = spark.read.parquet(os.path.join(ix_dir, "docs"))
+    t_enc = float("inf")
+    for _ in range(max(reps, 1)):
+        t0 = time.perf_counter()
+        blocks = build_block_postings(served_postings, block_span=block_span)
+        dlb = build_dl_blocks(served_docs, block_span=block_span)
+        shutil.rmtree(bl_dir, ignore_errors=True)
+        write_block_index(blocks, dlb, bl_dir, term_buckets=term_buckets)
+        t_enc = min(t_enc, time.perf_counter() - t0)
+    out["encode_write_sec"] = round(t_enc, 2)
+    n_postings = ix.stats.get("n_postings") or 0
+    if t_enc > 0 and n_postings:
+        out["encode_postings_per_sec"] = round(n_postings / t_enc, 1)
 
     six = read_index(spark, ix_dir)
     six.terms.cache().count()
