@@ -89,17 +89,16 @@ def _kernel_factory(term_stats: dict[str, tuple[float, float]], k: int,
         theta = heap[0] if len(heap) >= k else -np.inf
 
         # --- block-max upper bound for this doc range ------------------
-        ub = 0.0
+        # per-term contributions, kept for the in-kernel early exit
+        # (negative idf contributes 0: the term score is < 0 everywhere,
+        # so 0 is a safe upper bound for it)
+        contribs = []
         for term, max_tf in zip(pblocks["term"], pblocks["max_tf"]):
             idf, _ = term_stats[term]
             mt = float(max_tf)
-            if idf >= 0.0:
-                ub += idf * mt * (k1 + 1.0) / (mt + k1 * (1.0 - b))
-            else:
-                # negative idf: score is maximized (least negative) at
-                # tf=1, dl->inf => bounded above by 0 from below; use the
-                # tf=1, dl=max bound ~ 0 — contribute 0 (safe upper bound)
-                ub += 0.0
+            c = idf * mt * (k1 + 1.0) / (mt + k1 * (1.0 - b)) if idf >= 0.0 else 0.0
+            contribs.append(c)
+        ub = sum(contribs)
         if ub < theta:
             return empty
 
@@ -111,17 +110,36 @@ def _kernel_factory(term_stats: dict[str, tuple[float, float]], k: int,
         dl_arr[(ddocs - base).astype(np.int64)] = dls
 
         # --- doc-at-a-time accumulation over the range -----------------
+        # terms in DESCENDING bound order with suffix sums: after term j,
+        # no doc can exceed max(best partial, 0) + suffix_ub[j+1] — when
+        # that falls below theta the remaining (smaller) terms need not
+        # be decoded at all (tightens the static block-max with the
+        # ACTUAL best partial once the heavy terms are in)
+        order = sorted(range(len(contribs)), key=lambda i: -contribs[i])
+        suffix = 0.0
+        suffix_ub = [0.0] * (len(order) + 1)
+        for j in range(len(order) - 1, -1, -1):
+            suffix += contribs[order[j]]
+            suffix_ub[j] = suffix
+        rows_term = list(pblocks["term"])
+        rows_dvb = list(pblocks["docs_vb"])
+        rows_tvb = list(pblocks["tfs_vb"])
         scores = np.zeros(span, dtype=np.float64)
         touched = np.zeros(span, dtype=bool)
-        for term, dvb, tvb in zip(pblocks["term"], pblocks["docs_vb"], pblocks["tfs_vb"]):
-            idf, _ = term_stats[term]
-            docs = np.cumsum(vbyte_decode(dvb), dtype=np.uint64)
-            tfs = vbyte_decode(tvb).astype(np.float64)
+        best_partial = 0.0
+        for j, ri in enumerate(order):
+            if best_partial + suffix_ub[j] < theta and j > 0:
+                return empty  # no doc in this range can reach the heap
+            idf, _ = term_stats[rows_term[ri]]
+            docs = np.cumsum(vbyte_decode(rows_dvb[ri]), dtype=np.uint64)
+            tfs = vbyte_decode(rows_tvb[ri]).astype(np.float64)
             off = (docs - base).astype(np.int64)
             dl = dl_arr[off]
             s = idf * tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dl / avgdl))
             scores[off] += s
             touched[off] = True
+            if off.size:
+                best_partial = max(best_partial, float(scores[off].max()))
 
         idx = np.nonzero(touched)[0]
         if idx.size == 0:
@@ -254,12 +272,14 @@ def _batch_kernel_factory(stats_by_qid: dict[int, dict[str, float]], k: int,
         heap = _THRESH.setdefault(f"{qkey}:{qid}", [])
         theta = heap[0] if len(heap) >= k else -np.inf
 
-        ub = 0.0
+        contribs = []
         for term, max_tf in zip(pblocks["term"], pblocks["max_tf"]):
             idf = idfs[term]
             mt = float(max_tf)
-            if idf >= 0.0:
-                ub += idf * mt * (k1 + 1.0) / (mt + k1 * (1.0 - b))
+            contribs.append(
+                idf * mt * (k1 + 1.0) / (mt + k1 * (1.0 - b)) if idf >= 0.0 else 0.0
+            )
+        ub = sum(contribs)
         if ub < theta:
             return empty
 
@@ -269,17 +289,33 @@ def _batch_kernel_factory(stats_by_qid: dict[int, dict[str, float]], k: int,
         dl_arr = np.zeros(span, dtype=np.float64)
         dl_arr[(ddocs - np.uint64(base)).astype(np.int64)] = dls
 
+        # descending-bound term order + suffix bounds: same in-kernel
+        # early exit as the single-query kernel
+        order = sorted(range(len(contribs)), key=lambda i: -contribs[i])
+        suffix = 0.0
+        suffix_ub = [0.0] * (len(order) + 1)
+        for j in range(len(order) - 1, -1, -1):
+            suffix += contribs[order[j]]
+            suffix_ub[j] = suffix
+        rows_term = list(pblocks["term"])
+        rows_dvb = list(pblocks["docs_vb"])
+        rows_tvb = list(pblocks["tfs_vb"])
         scores = np.zeros(span, dtype=np.float64)
         touched = np.zeros(span, dtype=bool)
-        for term, dvb, tvb in zip(pblocks["term"], pblocks["docs_vb"], pblocks["tfs_vb"]):
-            idf = idfs[term]
-            docs = np.cumsum(vbyte_decode(dvb), dtype=np.uint64)
-            tfs = vbyte_decode(tvb).astype(np.float64)
+        best_partial = 0.0
+        for j, ri in enumerate(order):
+            if best_partial + suffix_ub[j] < theta and j > 0:
+                return empty
+            idf = idfs[rows_term[ri]]
+            docs = np.cumsum(vbyte_decode(rows_dvb[ri]), dtype=np.uint64)
+            tfs = vbyte_decode(rows_tvb[ri]).astype(np.float64)
             off = (docs - np.uint64(base)).astype(np.int64)
             dl = dl_arr[off]
             s = idf * tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dl / avgdl))
             scores[off] += s
             touched[off] = True
+            if off.size:
+                best_partial = max(best_partial, float(scores[off].max()))
         idx = np.nonzero(touched)[0]
         if idx.size == 0:
             return empty
