@@ -431,14 +431,18 @@ def route_bm25(
     cfg: EngineConfig = DEFAULT_CONFIG,
     block_span: int = DEFAULT_BLOCK_SPAN,
     term_buckets: int | None = None,
-    wand_min_postings: int = 200_000,
+    wand_min_postings: int = 1_000_000,
 ) -> tuple[DataFrame, str]:
     """Pick the execution path per query from the term stats the planner
-    already has: the measured crossover (BENCH.md) shows block-max WAND
-    wins once the query's posting volume is large (the head-heavy
-    queries that are the exhaustive join's worst case), while tiny
-    posting sets are cheaper through the plain broadcast-join plan than
-    through the cogroup + Arrow kernel's fixed cost.
+    already has: the measured crossover (BENCH.md round 4, 5M-doc Zipf)
+    shows block-max WAND wins once the query's posting volume is large
+    (2.5M+ postings: 1.9-2.2x — the head-heavy queries that are the
+    exhaustive join's worst case), while moderate posting sets are
+    cheaper through the plain codegen broadcast-join plan than through
+    the cogroup + Arrow kernel's per-block dispatch (measured 0.91x at
+    ~380k postings when the head term floods every block).  The 1M
+    default sits between those measured regimes; re-calibrate per
+    cluster with the crossover harness.
 
     Routes on ``Σ df`` (the exact posting row count the exhaustive plan
     must score): >= ``wand_min_postings`` -> WAND over the compressed
@@ -482,7 +486,7 @@ def route_batch_bm25(
     cfg: EngineConfig = DEFAULT_CONFIG,
     block_span: int = DEFAULT_BLOCK_SPAN,
     term_buckets: int | None = None,
-    wand_min_postings: int = 200_000,
+    wand_min_postings: int = 1_000_000,
 ) -> tuple[DataFrame, dict[int, str]]:
     """Route a WHOLE query set (qid, term, qtf) with ONE driver job,
     then execute each route as a single batch plan — the full Run_B6
