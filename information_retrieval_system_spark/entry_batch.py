@@ -687,9 +687,93 @@ LIMIT {EQ.TOPK}
 """
 
 
+# --- Rocchio pseudo-relevance feedback --------------------------------------
+
+ROCCHIO_FB_K = 10     # feedback depth (docs)
+ROCCHIO_FB_TERMS = 3  # expansion terms kept
+ROCCHIO_ALPHA, ROCCHIO_BETA = 1.0, 0.75
+
+
+def q_rocchio_vsm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rocchio PRF end-to-end: BM25 top-10 feedback docs -> tf-idf
+    centroid -> top-3 new terms at β=0.75 -> VSM re-retrieval.  One
+    plan, no driver round-trips between the two retrievals."""
+    from .query.expansion import rocchio_expand
+
+    ix = EQ.get_index(spark, sf_dir)
+    qt = rocchio_expand(ix, EQ.query_terms_df(spark),
+                        fb_k=ROCCHIO_FB_K, fb_terms=ROCCHIO_FB_TERMS,
+                        alpha=ROCCHIO_ALPHA, beta=ROCCHIO_BETA,
+                        cfg=EQ.NOSTEM_CFG)
+    res = scoring.vsm_search(ix, qt, k=EQ.TOPK, cfg=EQ.NOSTEM_CFG)
+    return res.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      F.round("score", 4).alias("score"))
+
+
+SQL_ROCCHIO_VSM = f"""
+WITH {EQ.TOKS_CTE},
+post AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM post GROUP BY 1),
+dl AS (SELECT d.doc_id, CAST(coalesce(t.dl, 0) AS DOUBLE) AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1) t USING (doc_id)),
+stats AS (SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n,
+                 CAST((SELECT count(*) FROM toks) // (SELECT count(*) FROM documents) AS DOUBLE) AS avgdl),
+q0 AS (SELECT unnest({EQ._sql_terms_list()}) AS term, 1.0 AS qtf),
+bscored AS (
+  SELECT p.doc_id,
+         (ln((s.n - f.df + 0.5) / (f.df + 0.5)) / ln(2))
+           * p.tf * ({EQ.K1} + 1)
+           / (p.tf + {EQ.K1} * (1 - {EQ.B} + {EQ.B} * d.dl / s.avgdl)) AS ts
+  FROM post p JOIN q0 USING (term) JOIN dft f USING (term)
+  JOIN dl d USING (doc_id) CROSS JOIN stats s
+),
+fb AS (
+  SELECT doc_id FROM (SELECT doc_id, sum(ts) AS score FROM bscored GROUP BY doc_id)
+  ORDER BY score DESC, doc_id ASC LIMIT {ROCCHIO_FB_K}
+),
+cen AS (
+  SELECT p.term,
+         sum(p.tf * ln(s.n / f.df) / ln(2)) / (SELECT count(*) FROM fb) AS cw
+  FROM post p JOIN fb USING (doc_id) JOIN dft f USING (term) CROSS JOIN stats s
+  WHERE p.term NOT IN (SELECT term FROM q0)
+  GROUP BY p.term
+),
+expd AS (SELECT term, {ROCCHIO_BETA} * cw AS qtf
+         FROM cen ORDER BY cw DESC, term ASC LIMIT {ROCCHIO_FB_TERMS}),
+qterms AS (
+  SELECT term, sum(qtf) AS qtf FROM (
+    SELECT term, {ROCCHIO_ALPHA} * qtf AS qtf FROM q0
+    UNION ALL SELECT term, qtf FROM expd)
+  GROUP BY term
+),
+norms AS (
+  SELECT p.doc_id,
+         sum(pow(p.tf * ln(floor((s.n + 1) / f.df)) / ln(2), 2)) AS norm2
+  FROM post p JOIN dft f USING (term) CROSS JOIN stats s
+  GROUP BY p.doc_id
+),
+qw AS (SELECT q.term, q.qtf * ln(s.n / f.df) / ln(2) AS w_q
+       FROM qterms q JOIN dft f USING (term) CROSS JOIN stats s),
+qnorm AS (SELECT sum(w_q * w_q) AS q_norm2 FROM qw),
+dots AS (
+  SELECT p.doc_id, sum(p.tf * (ln(s.n / f.df) / ln(2)) * w.w_q) AS dot
+  FROM post p JOIN qw w USING (term) JOIN dft f USING (term) CROSS JOIN stats s
+  GROUP BY p.doc_id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       round(CASE WHEN n.norm2 > 0 AND qn.q_norm2 > 0
+                  THEN d.dot / sqrt(n.norm2 * qn.q_norm2) ELSE 0 END, 4) AS score
+FROM dots d JOIN norms n USING (doc_id) CROSS JOIN qnorm qn
+ORDER BY (CASE WHEN n.norm2 > 0 AND qn.q_norm2 > 0
+               THEN d.dot / sqrt(n.norm2 * qn.q_norm2) ELSE 0 END) DESC, d.doc_id ASC
+LIMIT {EQ.TOPK}
+"""
+
+
 BATCH_QUERIES_REG = {
     "corrected_bm25": q_corrected_bm25,
     "external_expansion_topk": q_external_expansion_topk,
+    "rocchio_vsm_topk": q_rocchio_vsm_topk,
     "phrase_search": q_phrase_search,
     "batch_bm25": q_batch_bm25,
     "field_term_stats": q_field_term_stats,
@@ -706,6 +790,7 @@ BATCH_QUERIES_REG = {
 BATCH_ORACLES = {
     "corrected_bm25": _sql_corrected_bm25(),
     "external_expansion_topk": _sql_external_expansion(),
+    "rocchio_vsm_topk": SQL_ROCCHIO_VSM,
     "phrase_search": SQL_PHRASE_SEARCH,
     "batch_bm25": SQL_BATCH_BM25,
     "field_term_stats": SQL_FIELD_TERM_STATS,

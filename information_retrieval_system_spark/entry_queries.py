@@ -506,6 +506,7 @@ _GRADE_FIRST = [
     "routed_batch_fusion",
     "corrected_bm25",
     "external_expansion_topk",
+    "rocchio_vsm_topk",
     # ungraded through r03 (CORRECTNESS_r03 covers the other 50)
     "eval_metrics", "events_tumbling", "rollup_pricing",
     "revenue_by_nation", "salted_postings", "asof_status",
