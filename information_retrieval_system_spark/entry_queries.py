@@ -507,6 +507,8 @@ _GRADE_FIRST = [
     "corrected_bm25",
     "external_expansion_topk",
     "rocchio_vsm_topk",
+    "batch_conjunctive",
+    "dedup_components",
     # ungraded through r03 (CORRECTNESS_r03 covers the other 50)
     "eval_metrics", "events_tumbling", "rollup_pricing",
     "revenue_by_nation", "salted_postings", "asof_status",

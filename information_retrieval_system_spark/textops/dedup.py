@@ -421,3 +421,67 @@ def simhash_duplicate_groups(df: DataFrame, text_col: str, id_col: str,
         .agg(F.count("*").alias("n_docs"), F.min("id").alias("canonical_id"))
         .filter(F.col("n_docs") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicate clusters: connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """(id_a, id_b) near-dup pairs -> (id, component) where component is
+    the MINIMUM id reachable through the pair graph — the duplicate-
+    CLUSTER assignment a training-data pipeline needs on top of pairwise
+    near-dup output (keep one doc per component, drop the rest).
+
+    Min-label propagation: ``label(v) <- min(label(v), min_{u~v}
+    label(u))`` iterated to a fixpoint, checked with a 1-row changed-
+    count aggregate per iteration (same driver-scalar convergence
+    pattern as pagerank).  Near-dup graphs are unions of near-cliques,
+    so the diameter — and therefore the iteration count — is tiny; for
+    general graphs at 100 TB swap the loop body for the large-star/
+    small-star alternation (O(log n) rounds), which preserves this
+    function's contract.
+
+    Deterministic: the fixpoint is unique regardless of execution order.
+    """
+    edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    und = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct().cache()
+    labels = (
+        und.select(F.col("a").alias("id")).distinct()
+        .withColumn("component", F.col("id"))
+        .cache()
+    )
+    labels.count()
+    for _ in range(max_iters):
+        neigh = (
+            und.join(labels.select(F.col("id").alias("b"),
+                                   F.col("component").alias("_nc")), "b")
+            .groupBy(F.col("a").alias("id"))
+            .agg(F.min("_nc").alias("_mn"))
+        )
+        nxt = (
+            labels.join(neigh, "id", "left")
+            .select("id", F.least(F.col("component"),
+                                  F.coalesce(F.col("_mn"), F.col("component")))
+                    .alias("component"))
+            .cache()
+        )
+        changed = (
+            nxt.join(labels.select(F.col("id"),
+                                   F.col("component").alias("_old")), "id")
+            .filter(F.col("component") != F.col("_old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = nxt
+        if changed == 0:
+            break
+    und.unpersist()
+    return labels

@@ -292,3 +292,46 @@ def test_embedding_near_dup_bucket_cap_drops_cluster(spark):
     assert any(a >= 1000 and b < 2000 for a, b in ids_uncapped)
     assert not any(a >= 1000 and b < 2000 for a, b in ids_capped)
     assert ids_capped <= ids_uncapped
+
+
+def test_connected_components_planted_clusters(spark):
+    """Chain, triangle, isolated pair -> three components labeled by
+    their minimum ids; fixpoint reached regardless of edge direction."""
+    from information_retrieval_system_spark.textops.dedup import (
+        connected_components)
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4 (mixed direction), triangle 10-11-12, pair 20-21
+        [(2, 1), (2, 3), (4, 3), (10, 11), (11, 12), (10, 12), (21, 20)],
+        "id_a long, id_b long",
+    )
+    got = {(r.id, r.component)
+           for r in connected_components(pairs).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1),
+                   (10, 10), (11, 10), (12, 10), (20, 20), (21, 20)}
+
+
+def test_batch_conjunctive_matches_per_query(spark, sf_small):
+    """The in-plan batch strict-AND equals the per-query driver-checked
+    conjunctive_search for every qid, including the absent-term query."""
+    from information_retrieval_system_spark import entry_queries as EQ
+    from information_retrieval_system_spark.query.scoring import (
+        batch_conjunctive_search, conjunctive_search)
+
+    ix = EQ.get_index(spark, sf_small)
+    queries = {1: ["spark", "join"], 2: ["zzznotfound"],
+               3: ["table", "hash", "merge"]}
+    qt = spark.createDataFrame(
+        [(q, t, 1.0) for q, ts in queries.items() for t in ts],
+        "qid long, term string, qtf double")
+    batch = batch_conjunctive_search(ix, qt, k=1000)
+    got = {q: sorted(r.doc_id for r in rows) for q, rows in
+           __import__("itertools").groupby(
+               sorted(batch.collect(), key=lambda r: (r.qid, r.doc_id)),
+               key=lambda r: r.qid)}
+    for q, ts in queries.items():
+        one = spark.createDataFrame([(t, 1.0) for t in ts],
+                                    "term string, qtf double")
+        ref = sorted(r.doc_id for r in
+                     conjunctive_search(ix, one, k=1000).collect())
+        assert got.get(q, []) == ref
