@@ -509,6 +509,7 @@ _GRADE_FIRST = [
     "rocchio_vsm_topk",
     "batch_conjunctive",
     "dedup_components",
+    "stream_dedup",
     # ungraded through r03 (CORRECTNESS_r03 covers the other 50)
     "eval_metrics", "events_tumbling", "rollup_pricing",
     "revenue_by_nation", "salted_postings", "asof_status",

@@ -163,7 +163,61 @@ def q_stream_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _project(spark.table(sink))
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING exact dedup: the documents table replayed as a
+    multi-file stream through ``dropDuplicates`` on the content hash
+    (stateful — first arrival per key emits, later arrivals are
+    swallowed by the dedup state), availableNow drain into an append
+    memory sink.
+
+    The gated output is the distinct content-hash SET, which is
+    batching- and arrival-order-invariant, so it must equal the batch
+    ``SELECT DISTINCT sha256(...)`` oracle exactly.  A production
+    deployment bounds the state with ``dropDuplicatesWithinWatermark``
+    (same plan shape + state TTL); the sandbox corpus has no event-time
+    column on documents, so the unbounded form is gated."""
+    cache_key = f"dedup:{sf_dir}"
+    if cache_key in _DONE:
+        return spark.table(_DONE[cache_key])
+    base = os.path.join(tempfile.gettempdir(), "irs_stream_dd",
+                        f"pid{os.getpid()}",
+                        sf_dir.strip("/").replace("/", "_"))
+    shutil.rmtree(base, ignore_errors=True)
+    in_dir = os.path.join(base, "in")
+    EQ.load_documents(spark, sf_dir).select("doc_id", "text").repartition(8) \
+        .write.parquet(in_dir)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 3)
+        .parquet(in_dir)
+    )
+    dd = (
+        stream.select(
+            F.sha2(F.substring("text", 1, 120), 256).alias("content_sha"))
+        .dropDuplicates(["content_sha"])
+    )
+    sink = f"stream_dd_{os.getpid()}_{len(_DONE)}"
+    q = (
+        dd.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    try:
+        finished = q.awaitTermination(STREAM_TIMEOUT_SEC)
+    finally:
+        q.stop()
+    if not finished:
+        raise RuntimeError("streaming dedup did not drain")
+    _DONE[cache_key] = sink
+    return spark.table(sink)
+
+
+SQL_STREAM_DEDUP = """
+SELECT DISTINCT sha256(substr(text, 1, 120)) AS content_sha FROM documents
+"""
+
+
 STREAMING_QUERIES = {
+    "stream_dedup": q_stream_dedup,
     "stream_term_df": q_stream_term_df,
     "compacted_term_df": q_compacted_term_df,
     "compacted_bm25": q_compacted_bm25,
@@ -172,6 +226,7 @@ STREAMING_QUERIES = {
 from .entry_eval import SQL_EVENTS_TUMBLING  # noqa: E402  (loaded before this module)
 
 STREAMING_ORACLES = {
+    "stream_dedup": SQL_STREAM_DEDUP,
     "stream_term_df": EQ.SQL_TERM_DF,
     "compacted_term_df": EQ.SQL_TERM_DF,
     "compacted_bm25": EQ.SQL_BM25_TOPK,
