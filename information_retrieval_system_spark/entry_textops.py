@@ -259,6 +259,41 @@ FROM reach GROUP BY id
 """
 
 
+def q_near_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRANSITIVE keep-one-per-cluster: drop every doc whose near-dup
+    component canonical (min reachable id) is another doc — the filter a
+    training pipeline applies after clustering (pairwise dedup_keep
+    can't drop B and C of a chain A~B~C consistently; components can).
+    Returns the surviving doc ids."""
+    pairs = dedup.minhash_lsh_dedup(
+        _docs(spark, sf_dir), "text", "doc_id",
+        n=NGRAM_N, num_hashes=MH_HASHES, bands=LSH_BANDS,
+        threshold=JACCARD_THRESHOLD, seed=42,
+        max_shingle_df=NGRAM_MAX_DF, max_bucket_size=LSH_MAX_BUCKET,
+    )
+    comp = dedup.connected_components(pairs.select("id_a", "id_b"))
+    losers = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("doc_id"))
+    kept = _docs(spark, sf_dir).select("doc_id").join(losers, "doc_id", "left_anti")
+    return kept.select(F.col("doc_id").cast("long").alias("doc_id"))
+
+
+def _sql_near_dedup_keep() -> str:
+    return f"""
+WITH RECURSIVE {_sql_lsh_pairs_chain()},
+und AS (SELECT id_a AS a, id_b AS b FROM lshpairs
+        UNION SELECT id_b, id_a FROM lshpairs),
+reach(id, m) AS (
+  SELECT a, a FROM und
+  UNION
+  SELECT u.a, r.m FROM und u JOIN reach r ON r.id = u.b
+),
+comp AS (SELECT id, min(m) AS component FROM reach GROUP BY id)
+SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
+"""
+
+
 # --- simhash ---------------------------------------------------------------
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -793,6 +828,7 @@ TEXTOPS_QUERIES = {
     "minhash_signatures": q_minhash_signatures,
     "minhash_lsh_dedup": q_minhash_lsh_dedup,
     "dedup_components": q_dedup_components,
+    "near_dedup_keep": q_near_dedup_keep,
     "simhash": q_simhash,
     "simhash_near_dup": q_simhash_near_dup,
     "cosine_topk": q_cosine_topk,
@@ -817,6 +853,7 @@ TEXTOPS_ORACLES = {
     "minhash_signatures": _sql_minhash(),
     "minhash_lsh_dedup": _sql_minhash_lsh_dedup(),
     "dedup_components": _sql_dedup_components(),
+    "near_dedup_keep": _sql_near_dedup_keep(),
     "simhash": _sql_simhash(),
     "simhash_near_dup": _sql_simhash_near_dup(),
     "cosine_topk": SQL_COSINE_TOPK,
