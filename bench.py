@@ -46,7 +46,10 @@ def run_suite(parallelism: int, sf_dir: str) -> dict:
 
     # --- index build (full config: stopwords + Porter) ---------------
     cfg = EngineConfig()
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # load_documents spreads the single-file sandbox parquet across the
+    # session's cores (one partition otherwise = single-threaded
+    # tokenize); at scale the input is many files and this is a no-op
+    docs = EQ.load_documents(spark, sf_dir)
     n_docs = docs.count()
     t0 = time.perf_counter()
     index = build_index(docs, cfg, doc_col="doc_id", text_col="text")

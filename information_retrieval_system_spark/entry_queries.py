@@ -55,8 +55,21 @@ TOPK = 20
 _index_cache: dict[tuple, IndexTables] = {}
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """The sandbox testdata is ONE parquet file -> one partition, so
+    everything upstream of the first shuffle (tokenize/md5/explode — the
+    CPU-heavy stages) would run single-threaded.  Repartition up to the
+    session's parallelism when the scan is narrower; at scale the input
+    is thousands of files and this is a no-op."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min(target, 8):
+        return df.repartition(target)
+    return df
+
+
 def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def get_index(spark: SparkSession, sf_dir: str, cfg: EngineConfig = NOSTEM_CFG) -> IndexTables:

@@ -42,11 +42,15 @@ LSH_ROWS_PER_BAND = MH_HASHES // LSH_BANDS
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from . import entry_queries as EQ
+
+    return EQ.load_documents(spark, sf_dir)
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from . import entry_queries as EQ
+
+    return EQ._spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 # --- exact dedup -----------------------------------------------------------
