@@ -149,17 +149,42 @@ def _sql_expansions() -> str:
     return f"(VALUES {rows}) ex(term, expansion, weight)"
 
 
-SQL_EXPANDED_BM25 = f"""
-WITH {EQ.TOKS_CTE},
-post AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
-dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM post GROUP BY 1),
-stats AS (SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n),
-norms AS (
+
+def sql_vsm_scored_tail(qterms: str = "qterms") -> str:
+    """CTE tail + final SELECT shared by every VSM-over-expanded-query
+    oracle (expanded/glove/antonym/external/rocchio): consumes ``post``,
+    ``dft``, ``stats(n)`` and a ``{qterms}(term, qtf)`` CTE defined
+    upstream.  One copy so a change to the VSM convention (floor-idf
+    norms, zero-norm guard, tie-break) cannot silently diverge between
+    oracles."""
+    return f"""norms AS (
   SELECT p.doc_id,
          sum(pow(p.tf * ln(floor((s.n + 1) / f.df)) / ln(2), 2)) AS norm2
   FROM post p JOIN dft f USING (term) CROSS JOIN stats s
   GROUP BY p.doc_id
 ),
+qw AS (SELECT q.term, q.qtf * ln(s.n / f.df) / ln(2) AS w_q
+       FROM {qterms} q JOIN dft f USING (term) CROSS JOIN stats s),
+qnorm AS (SELECT sum(w_q * w_q) AS q_norm2 FROM qw),
+vdots AS (
+  SELECT p.doc_id, sum(p.tf * (ln(s.n / f.df) / ln(2)) * w.w_q) AS dot
+  FROM post p JOIN qw w USING (term) JOIN dft f USING (term) CROSS JOIN stats s
+  GROUP BY p.doc_id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       round(CASE WHEN n.norm2 > 0 AND qn.q_norm2 > 0
+                  THEN d.dot / sqrt(n.norm2 * qn.q_norm2) ELSE 0 END, 4) AS score
+FROM vdots d JOIN norms n USING (doc_id) CROSS JOIN qnorm qn
+ORDER BY (CASE WHEN n.norm2 > 0 AND qn.q_norm2 > 0
+               THEN d.dot / sqrt(n.norm2 * qn.q_norm2) ELSE 0 END) DESC, d.doc_id ASC
+LIMIT {EQ.TOPK}"""
+
+
+SQL_EXPANDED_BM25 = f"""
+WITH {EQ.TOKS_CTE},
+post AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM post GROUP BY 1),
+stats AS (SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n),
 base AS (SELECT unnest({EQ._sql_terms_list()}) AS term, 1.0 AS qtf),
 ex AS (SELECT term, expansion, weight FROM {_sql_expansions()}),
 extra AS (SELECT e.expansion AS term, b.qtf * e.weight * 1.0 AS qtf
@@ -169,21 +194,7 @@ qterms AS (
     SELECT term, qtf FROM base UNION ALL SELECT term, qtf FROM extra)
   GROUP BY term
 ),
-qw AS (SELECT q.term, q.qtf * ln(s.n / f.df) / ln(2) AS w_q
-       FROM qterms q JOIN dft f USING (term) CROSS JOIN stats s),
-qnorm AS (SELECT sum(w_q * w_q) AS q_norm2 FROM qw),
-dots AS (
-  SELECT p.doc_id, sum(p.tf * (ln(s.n / f.df) / ln(2)) * w.w_q) AS dot
-  FROM post p JOIN qw w USING (term) JOIN dft f USING (term) CROSS JOIN stats s
-  GROUP BY p.doc_id
-)
-SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
-       round(CASE WHEN n.norm2 > 0 AND qn.q_norm2 > 0
-                  THEN d.dot / sqrt(n.norm2 * qn.q_norm2) ELSE 0 END, 4) AS score
-FROM dots d JOIN norms n USING (doc_id) CROSS JOIN qnorm qn
-ORDER BY (CASE WHEN n.norm2 > 0 AND qn.q_norm2 > 0
-               THEN d.dot / sqrt(n.norm2 * qn.q_norm2) ELSE 0 END) DESC, d.doc_id ASC
-LIMIT {EQ.TOPK}
+{sql_vsm_scored_tail()}
 """
 
 
@@ -248,12 +259,6 @@ WITH {EQ.TOKS_CTE},
 {NEIGHBORS_CTE},
 dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM post GROUP BY 1),
 stats AS (SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n),
-norms AS (
-  SELECT p.doc_id,
-         sum(pow(p.tf * ln(floor((s.n + 1) / f.df)) / ln(2), 2)) AS norm2
-  FROM post p JOIN dft f USING (term) CROSS JOIN stats s
-  GROUP BY p.doc_id
-),
 base AS (SELECT unnest({EQ._sql_terms_list()}) AS term, 1.0 AS qtf),
 extra AS (SELECT nb.expansion AS term, b.qtf * 1.0 * 1.0 AS qtf
           FROM base b JOIN nbr nb ON nb.term = b.term AND nb.rn <= 1),
@@ -262,21 +267,7 @@ qterms AS (
     SELECT term, qtf FROM base UNION ALL SELECT term, qtf FROM extra)
   GROUP BY term
 ),
-qw AS (SELECT q.term, q.qtf * ln(s.n / f.df) / ln(2) AS w_q
-       FROM qterms q JOIN dft f USING (term) CROSS JOIN stats s),
-qnorm AS (SELECT sum(w_q * w_q) AS q_norm2 FROM qw),
-dots2 AS (
-  SELECT p.doc_id, sum(p.tf * (ln(s.n / f.df) / ln(2)) * w.w_q) AS dot
-  FROM post p JOIN qw w USING (term) JOIN dft f USING (term) CROSS JOIN stats s
-  GROUP BY p.doc_id
-)
-SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
-       round(CASE WHEN n.norm2 > 0 AND qn.q_norm2 > 0
-                  THEN d.dot / sqrt(n.norm2 * qn.q_norm2) ELSE 0 END, 4) AS score
-FROM dots2 d JOIN norms n USING (doc_id) CROSS JOIN qnorm qn
-ORDER BY (CASE WHEN n.norm2 > 0 AND qn.q_norm2 > 0
-               THEN d.dot / sqrt(n.norm2 * qn.q_norm2) ELSE 0 END) DESC, d.doc_id ASC
-LIMIT {EQ.TOPK}
+{sql_vsm_scored_tail()}
 """
 
 
@@ -304,16 +295,19 @@ def q_spell_correct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_spell_correct() -> str:
-    qs = ", ".join(f"'{t}'" for t in MISSPELLED)
-    dels = ("list_distinct(list_append("
+#: DuckDB deletion-1 neighborhood / adjacent-swap variant expressions,
+#: shared by the spell-correction oracles (mirrors of
+#: spelling.deletion_variants_expr / transposition_variants_expr)
+SQL_DELS = ("list_distinct(list_append("
             "list_transform(range(length({c})), i -> substr({c}, 1, i) || substr({c}, i + 2)), {c}))")
-    # adjacent-swap variants (i = 1..len-1); range(1, n) is [1, n) so no
-    # short-string guard is needed — the mirror of
-    # spelling.transposition_variants_expr
-    trans = ("list_transform(range(1, length({c})), "
+SQL_TRANS = ("list_transform(range(1, length({c})), "
              "i -> substr({c}, 1, i - 1) || substr({c}, i + 1, 1) "
              "|| substr({c}, i, 1) || substr({c}, i + 2))")
+
+
+def _sql_spell_correct() -> str:
+    qs = ", ".join(f"'{t}'" for t in MISSPELLED)
+    dels, trans = SQL_DELS, SQL_TRANS
     return f"""
 WITH {EQ.TOKS_CTE},
 post AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
@@ -397,12 +391,6 @@ WITH {EQ.TOKS_CTE},
 {ANTONYM_CTE},
 dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM post GROUP BY 1),
 stats AS (SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n),
-norms AS (
-  SELECT p.doc_id,
-         sum(pow(p.tf * ln(floor((s.n + 1) / f.df)) / ln(2), 2)) AS norm2
-  FROM post p JOIN dft f USING (term) CROSS JOIN stats s
-  GROUP BY p.doc_id
-),
 base AS (SELECT unnest({EQ._sql_terms_list()}) AS term, 1.0 AS qtf),
 extra AS (SELECT ab.expansion AS term, b.qtf * {ANTONYM_WEIGHT} * 1.0 AS qtf
           FROM base b JOIN anb ab ON ab.term = b.term AND ab.rn <= 1),
@@ -411,21 +399,7 @@ qterms AS (
     SELECT term, qtf FROM base UNION ALL SELECT term, qtf FROM extra)
   GROUP BY term
 ),
-qw AS (SELECT q.term, q.qtf * ln(s.n / f.df) / ln(2) AS w_q
-       FROM qterms q JOIN dft f USING (term) CROSS JOIN stats s),
-qnorm AS (SELECT sum(w_q * w_q) AS q_norm2 FROM qw),
-dots2 AS (
-  SELECT p.doc_id, sum(p.tf * (ln(s.n / f.df) / ln(2)) * w.w_q) AS dot
-  FROM post p JOIN qw w USING (term) JOIN dft f USING (term) CROSS JOIN stats s
-  GROUP BY p.doc_id
-)
-SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
-       round(CASE WHEN n.norm2 > 0 AND qn.q_norm2 > 0
-                  THEN d.dot / sqrt(n.norm2 * qn.q_norm2) ELSE 0 END, 4) AS score
-FROM dots2 d JOIN norms n USING (doc_id) CROSS JOIN qnorm qn
-ORDER BY (CASE WHEN n.norm2 > 0 AND qn.q_norm2 > 0
-               THEN d.dot / sqrt(n.norm2 * qn.q_norm2) ELSE 0 END) DESC, d.doc_id ASC
-LIMIT {EQ.TOPK}
+{sql_vsm_scored_tail()}
 """
 
 
@@ -563,11 +537,7 @@ def q_corrected_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_corrected_bm25() -> str:
     qs = ", ".join(f"'{t}'" for t in TYPO_QUERY)
-    dels = ("list_distinct(list_append("
-            "list_transform(range(length({c})), i -> substr({c}, 1, i) || substr({c}, i + 2)), {c}))")
-    trans = ("list_transform(range(1, length({c})), "
-             "i -> substr({c}, 1, i - 1) || substr({c}, i + 1, 1) "
-             "|| substr({c}, i, 1) || substr({c}, i + 2))")
+    dels, trans = SQL_DELS, SQL_TRANS
     return f"""
 WITH {EQ.TOKS_CTE},
 post AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
@@ -649,12 +619,6 @@ WITH {EQ.TOKS_CTE},
 post AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
 dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM post GROUP BY 1),
 stats AS (SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n),
-norms AS (
-  SELECT p.doc_id,
-         sum(pow(p.tf * ln(floor((s.n + 1) / f.df)) / ln(2), 2)) AS norm2
-  FROM post p JOIN dft f USING (term) CROSS JOIN stats s
-  GROUP BY p.doc_id
-),
 base AS (SELECT unnest({terms}) AS term, 1.0 AS qtf),
 ex AS (
   SELECT term, expansion, weight
@@ -669,21 +633,7 @@ qterms AS (
     SELECT term, qtf FROM base UNION ALL SELECT term, qtf FROM extra)
   GROUP BY term
 ),
-qw AS (SELECT q.term, q.qtf * ln(s.n / f.df) / ln(2) AS w_q
-       FROM qterms q JOIN dft f USING (term) CROSS JOIN stats s),
-qnorm AS (SELECT sum(w_q * w_q) AS q_norm2 FROM qw),
-dots AS (
-  SELECT p.doc_id, sum(p.tf * (ln(s.n / f.df) / ln(2)) * w.w_q) AS dot
-  FROM post p JOIN qw w USING (term) JOIN dft f USING (term) CROSS JOIN stats s
-  GROUP BY p.doc_id
-)
-SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
-       round(CASE WHEN n.norm2 > 0 AND qn.q_norm2 > 0
-                  THEN d.dot / sqrt(n.norm2 * qn.q_norm2) ELSE 0 END, 4) AS score
-FROM dots d JOIN norms n USING (doc_id) CROSS JOIN qnorm qn
-ORDER BY (CASE WHEN n.norm2 > 0 AND qn.q_norm2 > 0
-               THEN d.dot / sqrt(n.norm2 * qn.q_norm2) ELSE 0 END) DESC, d.doc_id ASC
-LIMIT {EQ.TOPK}
+{sql_vsm_scored_tail()}
 """
 
 
@@ -746,28 +696,9 @@ qterms AS (
     UNION ALL SELECT term, qtf FROM expd)
   GROUP BY term
 ),
-norms AS (
-  SELECT p.doc_id,
-         sum(pow(p.tf * ln(floor((s.n + 1) / f.df)) / ln(2), 2)) AS norm2
-  FROM post p JOIN dft f USING (term) CROSS JOIN stats s
-  GROUP BY p.doc_id
-),
-qw AS (SELECT q.term, q.qtf * ln(s.n / f.df) / ln(2) AS w_q
-       FROM qterms q JOIN dft f USING (term) CROSS JOIN stats s),
-qnorm AS (SELECT sum(w_q * w_q) AS q_norm2 FROM qw),
-dots AS (
-  SELECT p.doc_id, sum(p.tf * (ln(s.n / f.df) / ln(2)) * w.w_q) AS dot
-  FROM post p JOIN qw w USING (term) JOIN dft f USING (term) CROSS JOIN stats s
-  GROUP BY p.doc_id
-)
-SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
-       round(CASE WHEN n.norm2 > 0 AND qn.q_norm2 > 0
-                  THEN d.dot / sqrt(n.norm2 * qn.q_norm2) ELSE 0 END, 4) AS score
-FROM dots d JOIN norms n USING (doc_id) CROSS JOIN qnorm qn
-ORDER BY (CASE WHEN n.norm2 > 0 AND qn.q_norm2 > 0
-               THEN d.dot / sqrt(n.norm2 * qn.q_norm2) ELSE 0 END) DESC, d.doc_id ASC
-LIMIT {EQ.TOPK}
+{sql_vsm_scored_tail()}
 """
+
 
 
 CONJ_K = 50

@@ -84,12 +84,21 @@ def commit_snapshot(
     write_index(tables, sdir, cfg)
     # step 2: read-modify-replace the log under an exclusive lock file
     lock = _log_path(root) + ".lock"
+    STALE_LOCK_SEC = 60.0  # log append is milliseconds; a minute-old lock is a dead owner
     for _ in range(2400):  # ~2 min bound, then fail loud
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             os.close(fd)
             break
         except FileExistsError:
+            # stale-lock recovery: a committer killed between creating
+            # and unlinking the lock must not deadlock commits forever
+            try:
+                if time.time() - os.path.getmtime(lock) > STALE_LOCK_SEC:
+                    os.unlink(lock)
+                    continue
+            except OSError:
+                pass  # lock vanished or raced — just retry
             time.sleep(0.05)
     else:
         raise TimeoutError(f"could not acquire snapshot log lock {lock}")
@@ -136,11 +145,17 @@ def read_snapshot(
 
 def snapshot_lineage(root: str, snapshot_id: int | None = None) -> list[dict]:
     """Walk the parent chain from ``snapshot_id`` (default: current)
-    back to the initial snapshot — newest first."""
-    log = {e["id"]: e for e in snapshot_log(root)}
+    back to the initial snapshot — newest first.
+
+    "Current" is the LAST COMMITTED entry (``log[-1]``), matching
+    ``current_snapshot_id``/``read_snapshot`` — NOT ``max(id)``: under
+    the CAS commit protocol a lower id can commit after a higher one,
+    and the two notions would diverge."""
+    entries = snapshot_log(root)
+    log = {e["id"]: e for e in entries}
     if not log:
         return []
-    sid = snapshot_id if snapshot_id is not None else max(log)
+    sid = snapshot_id if snapshot_id is not None else entries[-1]["id"]
     chain = []
     while sid is not None:
         e = log[sid]

@@ -207,7 +207,8 @@ def bm25_topk_wand(
     if precollected_trows is not None:
         # a router already collected (term, df[, tb]) — reuse it instead
         # of issuing a second driver job for the same rows
-        trows = [r for r in precollected_trows if r.term in set(qset)]
+        qs = set(qset)
+        trows = [r for r in precollected_trows if r.term in qs]
     else:
         trows = collect_query_term_rows(terms, qset, blocks, term_buckets)
     if not trows:

@@ -335,3 +335,16 @@ def test_batch_conjunctive_matches_per_query(spark, sf_small):
         ref = sorted(r.doc_id for r in
                      conjunctive_search(ix, one, k=1000).collect())
         assert got.get(q, []) == ref
+
+
+def test_connected_components_long_chain_pointer_jumping(spark):
+    """A 60-node chain converges well inside max_iters thanks to the
+    path-halving step (plain min-propagation would need 59 rounds)."""
+    from information_retrieval_system_spark.textops.dedup import (
+        connected_components)
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 60)], "id_a long, id_b long")
+    out = connected_components(pairs, max_iters=10)
+    got = {(r.id, r.component) for r in out.collect()}
+    assert got == {(i, 1) for i in range(1, 61)}
