@@ -744,11 +744,46 @@ FROM ranked WHERE rank <= {CONJ_K}
 """
 
 
+
+# --- vocabulary prefix auto-complete ----------------------------------------
+
+SUGGEST_PREFIXES = ("s", "st", "me", "zz")  # incl. a no-match prefix
+SUGGEST_K = 3
+
+
+def q_prefix_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-complete: top-3 vocabulary terms by df per prefix — each
+    prefix is a pushed-down StartsWith scan over the sorted vocabulary
+    (see query/suggest.py), never a non-equi join."""
+    from .query.suggest import suggest_prefixes
+
+    ix = EQ.get_index(spark, sf_dir)
+    return suggest_prefixes(ix.terms.select("term", "df"),
+                            list(SUGGEST_PREFIXES), k=SUGGEST_K)
+
+
+def _sql_prefix_suggest() -> str:
+    parts = []
+    for p in SUGGEST_PREFIXES:
+        parts.append(f"""(
+  SELECT '{p}' AS prefix, term, CAST(df AS BIGINT) AS df,
+         CAST(row_number() OVER (ORDER BY df DESC, term ASC) AS BIGINT) AS rank
+  FROM vocab WHERE term LIKE '{p}%'
+  ORDER BY df DESC, term ASC LIMIT {SUGGEST_K})""")
+    body = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH {EQ.TOKS_CTE},
+post AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+vocab AS (SELECT term, count(*) AS df FROM post GROUP BY term)
+{body}
+"""
+
 BATCH_QUERIES_REG = {
     "corrected_bm25": q_corrected_bm25,
     "external_expansion_topk": q_external_expansion_topk,
     "rocchio_vsm_topk": q_rocchio_vsm_topk,
     "batch_conjunctive": q_batch_conjunctive,
+    "prefix_suggest": q_prefix_suggest,
     "phrase_search": q_phrase_search,
     "batch_bm25": q_batch_bm25,
     "field_term_stats": q_field_term_stats,
@@ -767,6 +802,7 @@ BATCH_ORACLES = {
     "external_expansion_topk": _sql_external_expansion(),
     "rocchio_vsm_topk": SQL_ROCCHIO_VSM,
     "batch_conjunctive": SQL_BATCH_CONJUNCTIVE,
+    "prefix_suggest": _sql_prefix_suggest(),
     "phrase_search": SQL_PHRASE_SEARCH,
     "batch_bm25": SQL_BATCH_BM25,
     "field_term_stats": SQL_FIELD_TERM_STATS,
