@@ -526,6 +526,7 @@ _GRADE_FIRST = [
     "near_dedup_keep",
     "s2_bm25f",
     "prefix_suggest",
+    "bigram_pmi",
     # ungraded through r03 (CORRECTNESS_r03 covers the other 50)
     "eval_metrics", "events_tumbling", "rollup_pricing",
     "revenue_by_nation", "salted_postings", "asof_status",

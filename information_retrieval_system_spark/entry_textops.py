@@ -824,6 +824,52 @@ FROM fr
 """
 
 
+
+# --- collocations: adjacent-bigram PMI --------------------------------------
+
+PMI_MIN_COUNT = 20
+
+
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction: adjacent-bigram PMI over the analyzed
+    token stream, rare pairs dropped (min_count) — see
+    quality.bigram_pmi for the no-self-join plan shape."""
+    out = quality.bigram_pmi(_docs(spark, sf_dir), "text",
+                             min_count=PMI_MIN_COUNT)
+    return out.select("term_a", "term_b", F.col("n").cast("long").alias("n"),
+                      F.round("pmi", 4).alias("pmi"))
+
+
+def _sql_bigram_pmi() -> str:
+    return f"""
+WITH {TOKARR_CTE},
+pairs AS (
+  SELECT unnest(CASE WHEN len(toks) < 2 THEN []
+                ELSE list_transform(range(len(toks) - 1),
+                     i -> {{'a': toks[i + 1], 'b': toks[i + 2]}})
+                END, recursive := true) AS x
+  FROM tokarr
+),
+uni AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(toks) AS t FROM tokarr) GROUP BY t
+),
+bi AS (
+  SELECT a AS term_a, b AS term_b, CAST(count(*) AS BIGINT) AS n
+  FROM pairs GROUP BY a, b HAVING count(*) >= {PMI_MIN_COUNT}
+),
+totals AS (
+  SELECT CAST((SELECT CAST(sum(len(toks)) AS BIGINT) FROM tokarr) AS DOUBLE) AS nu,
+         CAST((SELECT CAST(sum(greatest(len(toks) - 1, 0)) AS BIGINT) FROM tokarr) AS DOUBLE) AS nb
+)
+SELECT b.term_a, b.term_b, b.n,
+       round(ln((b.n / t.nb) / ((ca.c / t.nu) * (cb.c / t.nu))) / ln(2), 4) AS pmi
+FROM bi b
+JOIN uni ca ON ca.t = b.term_a
+JOIN uni cb ON cb.t = b.term_b
+CROSS JOIN totals t
+"""
+
 TEXTOPS_QUERIES = {
     "blob_metadata": q_blob_metadata,
     "frame_samples": q_frame_samples,
@@ -833,6 +879,7 @@ TEXTOPS_QUERIES = {
     "minhash_lsh_dedup": q_minhash_lsh_dedup,
     "dedup_components": q_dedup_components,
     "near_dedup_keep": q_near_dedup_keep,
+    "bigram_pmi": q_bigram_pmi,
     "simhash": q_simhash,
     "simhash_near_dup": q_simhash_near_dup,
     "cosine_topk": q_cosine_topk,
@@ -858,6 +905,7 @@ TEXTOPS_ORACLES = {
     "minhash_lsh_dedup": _sql_minhash_lsh_dedup(),
     "dedup_components": _sql_dedup_components(),
     "near_dedup_keep": _sql_near_dedup_keep(),
+    "bigram_pmi": _sql_bigram_pmi(),
     "simhash": _sql_simhash(),
     "simhash_near_dup": _sql_simhash_near_dup(),
     "cosine_topk": SQL_COSINE_TOPK,

@@ -93,3 +93,63 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         lambda acc, x: (acc * FP_MUL + h(x)) % F.lit(FP_MOD),
     )
     return df.select(F.col(id_col).alias("id"), fp.alias("fp"))
+
+
+def bigram_pmi(
+    df: DataFrame,
+    text_col: str,
+    min_count: int = 5,
+) -> DataFrame:
+    """Collocation extraction: adjacent-bigram pointwise mutual
+    information over the analyzed token stream.
+
+    ``pmi(a,b) = log2( (c_ab / N_b) / ((c_a / N_u) * (c_b / N_u)) )``
+    with ``c_ab`` the adjacent-pair count, ``c_x`` unigram counts,
+    ``N_b``/``N_u`` the total bigram/unigram counts.  ``min_count``
+    drops rare pairs (PMI's well-known low-frequency bias).
+
+    Plan shape: one tokenize pass staged as arrays, bigrams from a
+    ``zip_with`` of the array with its own tail (no self-join), one
+    explode + two aggregations — all counts are partial-agg'd map-side.
+    -> (term_a, term_b, n, pmi) for pairs with n >= min_count.
+    """
+    arr = tokens_array_expr(F.col(text_col))
+    pairs = F.when(
+        F.size(arr) >= 2,
+        F.zip_with(
+            F.slice(arr, 1, F.size(arr) - 1),
+            F.slice(arr, 2, F.size(arr) - 1),
+            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    toks = df.select(arr.alias("_arr"), pairs.alias("_pairs"))
+    uni = (
+        toks.select(F.explode("_arr").alias("t"))
+        .groupBy("t").agg(F.count("*").cast("long").alias("c"))
+    )
+    bi = (
+        toks.select(F.explode("_pairs").alias("p"))
+        .select(F.col("p.a").alias("term_a"), F.col("p.b").alias("term_b"))
+        .groupBy("term_a", "term_b").agg(F.count("*").cast("long").alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+    totals = toks.select(
+        F.sum(F.size("_arr")).cast("double").alias("_nu"),
+        F.sum(F.size("_pairs")).cast("double").alias("_nb"),
+    )
+    ln2 = 0.6931471805599453
+    return (
+        # unigram joins left to Catalyst/AQE: the vocabulary usually fits
+        # the broadcast threshold but is not guaranteed to at 100 TB
+        bi.join(uni.withColumnRenamed("t", "term_a")
+                .withColumnRenamed("c", "_ca"), "term_a")
+        .join(uni.withColumnRenamed("t", "term_b")
+              .withColumnRenamed("c", "_cb"), "term_b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "term_a", "term_b", "n",
+            (F.log((F.col("n") / F.col("_nb"))
+                   / ((F.col("_ca") / F.col("_nu")) * (F.col("_cb") / F.col("_nu"))))
+             / F.lit(ln2)).alias("pmi"),
+        )
+    )
