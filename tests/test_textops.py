@@ -348,3 +348,38 @@ def test_connected_components_long_chain_pointer_jumping(spark):
     out = connected_components(pairs, max_iters=10)
     got = {(r.id, r.component) for r in out.collect()}
     assert got == {(i, 1) for i in range(1, 61)}
+
+
+def test_near_dedup_keep_consistent_on_chain(spark):
+    """Keep-one-per-cluster keeps exactly the component minima: on a
+    synthetic chain A~B~C, pairwise keep-canonical would keep {A, C}
+    (C is canonical of pair (B,C)) but the transitive filter keeps
+    only A."""
+    from pyspark.sql import functions as F
+
+    from information_retrieval_system_spark.textops.dedup import (
+        connected_components)
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    comp = connected_components(pairs)
+    losers = comp.filter(F.col("id") != F.col("component"))
+    assert {r.id for r in losers.collect()} == {2, 3}
+
+
+def test_prefix_suggest_plan_and_values(spark, sf_small):
+    """Suggestions are df-ordered under each prefix; the plan contains
+    no nested-loop join (each prefix is its own pushed-down scan)."""
+    from information_retrieval_system_spark import entry_queries as EQ
+    from information_retrieval_system_spark.query.suggest import (
+        suggest_prefixes)
+
+    ix = EQ.get_index(spark, sf_small)
+    out = suggest_prefixes(ix.terms.select("term", "df"), ["s", "zz"], k=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    rows = [r for r in out.collect() if r.prefix == "s"]
+    assert all(t.term.startswith("s") for t in rows)
+    dfs = [r.df for r in sorted(rows, key=lambda r: r.rank)]
+    assert dfs == sorted(dfs, reverse=True) and 1 <= len(rows) <= 3
+    assert not [r for r in out.collect() if r.prefix == "zz"]
