@@ -863,7 +863,9 @@ totals AS (
          CAST((SELECT CAST(sum(greatest(len(toks) - 1, 0)) AS BIGINT) FROM tokarr) AS DOUBLE) AS nb
 )
 SELECT b.term_a, b.term_b, b.n,
-       round(ln((b.n / t.nb) / ((ca.c / t.nu) * (cb.c / t.nu))) / ln(2), 4) AS pmi
+       -- "+ 0" canonicalizes IEEE -0.0 (a tiny negative PMI rounds to
+       -- DuckDB's -0.0 but Spark's +0.0; the driver's hash distinguishes)
+       round(ln((b.n / t.nb) / ((ca.c / t.nu) * (cb.c / t.nu))) / ln(2), 4) + 0 AS pmi
 FROM bi b
 JOIN uni ca ON ca.t = b.term_a
 JOIN uni cb ON cb.t = b.term_b

@@ -71,7 +71,24 @@ def main() -> int:
             continue
         try:
             pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=False, rtol=0, atol=1e-9)
-            print(f"OK   {name}: {len(a)} rows")
+            # the driver's value-hash distinguishes -0.0 from +0.0 but
+            # atol treats them equal — check sign bits separately so a
+            # signed-zero divergence fails HERE, not only in the driver
+            szero = []
+            for c in a.columns:
+                av, bv = a[c], b[c]
+                if av.dtype.kind == "f" and bv.dtype.kind == "f":
+                    import numpy as np
+
+                    mask = av.notna() & bv.notna()
+                    if (np.signbit(av[mask].to_numpy())
+                            != np.signbit(bv[mask].to_numpy())).any():
+                        szero.append(c)
+            if szero:
+                print(f"FAIL {name}: signed-zero divergence in {szero}")
+                failures += 1
+            else:
+                print(f"OK   {name}: {len(a)} rows")
         except AssertionError as ex:
             print(f"FAIL {name}: value mismatch: {str(ex)[:400]}")
             failures += 1
