@@ -678,8 +678,9 @@ bscored AS (
   JOIN dl d USING (doc_id) CROSS JOIN stats s
 ),
 fb AS (
+  -- round(·, 9) at the cut: see rocchio_expand (engine-independent boundary)
   SELECT doc_id FROM (SELECT doc_id, sum(ts) AS score FROM bscored GROUP BY doc_id)
-  ORDER BY score DESC, doc_id ASC LIMIT {ROCCHIO_FB_K}
+  ORDER BY round(score, 9) DESC, doc_id ASC LIMIT {ROCCHIO_FB_K}
 ),
 cen AS (
   SELECT p.term,
@@ -689,7 +690,7 @@ cen AS (
   GROUP BY p.term
 ),
 expd AS (SELECT term, {ROCCHIO_BETA} * cw AS qtf
-         FROM cen ORDER BY cw DESC, term ASC LIMIT {ROCCHIO_FB_TERMS}),
+         FROM cen ORDER BY round(cw, 9) DESC, term ASC LIMIT {ROCCHIO_FB_TERMS}),
 qterms AS (
   SELECT term, sum(qtf) AS qtf FROM (
     SELECT term, {ROCCHIO_ALPHA} * qtf AS qtf FROM q0

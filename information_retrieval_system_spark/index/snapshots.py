@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -31,6 +32,34 @@ from .builder import IndexTables, read_index, write_index
 
 def _log_path(root: str) -> str:
     return os.path.join(root, "snapshots.json")
+
+
+@contextmanager
+def _log_lock(root: str, timeout_sec: float = 120.0):
+    """Exclusive kernel flock on ``snapshots.json.lock``.  Blocks (with
+    a loud timeout) until acquired; released on close — including by
+    the kernel if the holder dies, so there is no stale-lock state and
+    no recovery TOCTOU.  flock contends per open-file-description, so
+    racing threads in one process serialize too."""
+    import fcntl
+    import time
+
+    lock = _log_path(root) + ".lock"
+    fd = os.open(lock, os.O_CREAT | os.O_RDWR)
+    try:
+        deadline = time.monotonic() + timeout_sec
+        while True:
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                break
+            except BlockingIOError:
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"could not acquire snapshot log lock {lock}")
+                time.sleep(0.05)
+        yield
+    finally:
+        os.close(fd)  # releases the flock
 
 
 def snapshot_log(root: str) -> list[dict]:
@@ -63,14 +92,13 @@ def commit_snapshot(
     1. claim a snapshot id by ``os.mkdir(v<N>)`` — the mkdir is the
        atomic claim; a racing committer gets ``FileExistsError`` and
        retries with the next id (never two writers in one directory);
-    2. append to the log under an ``O_CREAT|O_EXCL`` lock file,
-       RE-READING the log inside the lock — a committer that claimed a
-       lower id but finished later appends later, so ``log[-1]`` is
-       always the latest COMMITTED snapshot (commit order, like a
-       catalog's pointer swap) and no entry can be silently dropped.
+    2. append to the log under an exclusive kernel flock
+       (``_log_lock``), RE-READING the log inside the lock — a
+       committer that claimed a lower id but finished later appends
+       later, so ``log[-1]`` is always the latest COMMITTED snapshot
+       (commit order, like a catalog's pointer swap) and no entry can
+       be silently dropped.
     """
-    import time
-
     os.makedirs(root, exist_ok=True)
     # step 1: claim an id (mkdir is atomic on POSIX)
     sid = (max((e["id"] for e in snapshot_log(root)), default=0)) + 1
@@ -82,27 +110,16 @@ def commit_snapshot(
         except FileExistsError:
             sid += 1  # another committer claimed it (or an old dir exists)
     write_index(tables, sdir, cfg)
-    # step 2: read-modify-replace the log under an exclusive lock file
-    lock = _log_path(root) + ".lock"
-    STALE_LOCK_SEC = 60.0  # log append is milliseconds; a minute-old lock is a dead owner
-    for _ in range(2400):  # ~2 min bound, then fail loud
-        try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.close(fd)
-            break
-        except FileExistsError:
-            # stale-lock recovery: a committer killed between creating
-            # and unlinking the lock must not deadlock commits forever
-            try:
-                if time.time() - os.path.getmtime(lock) > STALE_LOCK_SEC:
-                    os.unlink(lock)
-                    continue
-            except OSError:
-                pass  # lock vanished or raced — just retry
-            time.sleep(0.05)
-    else:
-        raise TimeoutError(f"could not acquire snapshot log lock {lock}")
-    try:
+    # step 2: read-modify-replace the log under a kernel-managed flock.
+    # An O_EXCL lock FILE needs stale-owner recovery, and every
+    # recovery scheme on a plain path has a TOCTOU (between checking
+    # staleness and removing it, the stale owner can release and a NEW
+    # owner acquire — the removal then kills the new owner's lock and
+    # two committers race the log).  flock has no staleness at all: the
+    # kernel drops the lock when the holder's fd closes, including on
+    # process death.  (Single-host like this sandbox; on a shared
+    # filesystem the production analog is the catalog's CAS commit.)
+    with _log_lock(root):
         log = snapshot_log(root)  # re-read under the lock
         if parent is None:
             parent = log[-1]["id"] if log else None
@@ -119,8 +136,6 @@ def commit_snapshot(
         with open(tmp, "w") as f:
             json.dump(log + [entry], f, indent=2)
         os.replace(tmp, _log_path(root))
-    finally:
-        os.unlink(lock)
     return sid
 
 
@@ -141,6 +156,57 @@ def read_snapshot(
             raise KeyError(f"snapshot {snapshot_id} not in log {[e['id'] for e in log]}")
         entry = matches[0]
     return read_index(spark, os.path.join(root, entry["dir"]))
+
+
+def expire_snapshots(root: str, keep_last: int = 2) -> list[int]:
+    """Retention GC — the ``expireSnapshots`` analog: keep the last
+    ``keep_last`` COMMITTED snapshots (commit order, i.e. the log
+    tail), delete every older snapshot's ``v<K>`` directory and drop
+    its log entry.  A retained entry whose parent was expired gets its
+    parent pointer truncated to the nearest RETAINED ancestor (or
+    ``None``), with the original id preserved as ``expired_parent`` —
+    so ``snapshot_lineage`` keeps working on a self-consistent log and
+    the truncation stays auditable.  Runs entirely under the commit
+    lock: a racing ``commit_snapshot`` either lands before the horizon
+    is computed or appends after the rewritten log — never
+    half-expired.
+
+    Returns the expired snapshot ids (empty when nothing to do).
+    Readers that already opened an expired snapshot keep working until
+    their DataFrames are re-planned — same contract as Iceberg: expire
+    only what no one should still be time-traveling to.
+    """
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    with _log_lock(root):
+        log = snapshot_log(root)
+        if len(log) <= keep_last:
+            return []
+        by_id = {e["id"]: e for e in log}
+        keep_ids = {e["id"] for e in log[-keep_last:]}
+        expired = [e for e in log if e["id"] not in keep_ids]
+
+        def nearest_retained(sid: int | None) -> int | None:
+            while sid is not None and sid not in keep_ids:
+                sid = by_id[sid]["parent"] if sid in by_id else None
+            return sid
+
+        kept_log = []
+        for e in log[-keep_last:]:
+            e = dict(e)
+            if e["parent"] is not None and e["parent"] not in keep_ids:
+                e["expired_parent"] = e["parent"]
+                e["parent"] = nearest_retained(e["parent"])
+            kept_log.append(e)
+        tmp = _log_path(root) + ".tmp.expire"
+        with open(tmp, "w") as f:
+            json.dump(kept_log, f, indent=2)
+        os.replace(tmp, _log_path(root))  # atomic pointer swap first
+        for e in expired:  # then drop the unreferenced data dirs
+            shutil.rmtree(os.path.join(root, e["dir"]), ignore_errors=True)
+        return [e["id"] for e in expired]
 
 
 def snapshot_lineage(root: str, snapshot_id: int | None = None) -> list[dict]:

@@ -124,7 +124,12 @@ def rocchio_expand(
 
     cfg = cfg or DEFAULT_CONFIG
     n = index.stats["n_docs"]
-    top = bm25_search(index, query_terms, k=fb_k, cfg=cfg).select("doc_id")
+    # both LIMIT cuts order by round(·, 9): double sums accumulate in
+    # engine-specific order, and an unrounded near-tie at the boundary
+    # could select different feedback docs / expansion terms than the
+    # oracle, diverging the whole downstream result
+    top = bm25_search(index, query_terms, k=fb_k, cfg=cfg,
+                      order_round=9).select("doc_id")
     nfb = top.agg(F.count("*").alias("_nfb"))
     idf = log2c(F.lit(float(n)) / F.col("df").cast("double"))
     cen = (
@@ -137,7 +142,7 @@ def rocchio_expand(
         .join(query_terms.select("term"), "term", "left_anti")
     )
     expd = (
-        cen.orderBy(F.desc("cw"), F.asc("term"))
+        cen.orderBy(F.desc(F.round("cw", 9)), F.asc("term"))
         .limit(fb_terms)
         .select("term", (F.lit(float(beta)) * F.col("cw")).alias("qtf"))
     )

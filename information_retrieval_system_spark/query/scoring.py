@@ -72,8 +72,15 @@ def bm25_search(
     k: int = 10,
     cfg: EngineConfig = DEFAULT_CONFIG,
     candidates: DataFrame | None = None,
+    order_round: int | None = None,
 ) -> DataFrame:
-    """-> (doc_id, score double), top-k, deterministic order."""
+    """-> (doc_id, score double), top-k, deterministic order.
+
+    ``order_round``: order the cut by ``round(score, order_round)``
+    (score output stays unrounded).  Use when the k-boundary must be
+    engine-independent (e.g. Rocchio's feedback cut): double SUMS
+    accumulate in engine-specific order, so a near-tie at the boundary
+    can otherwise select different docs in Spark vs the oracle."""
     n, avgdl = index.stats["n_docs"], index.stats["avgdl"]
     m = _matched(index, query_terms, candidates)
     m = m.join(index.docs.select("doc_id", "length"), "doc_id", "inner")
@@ -82,10 +89,11 @@ def bm25_search(
         bm25_term_score(F.col("tf").cast("double"), F.col("df").cast("double"),
                         F.col("length").cast("double"), n, float(avgdl), cfg.k1, cfg.b),
     )
+    key = F.col("score") if order_round is None else F.round("score", order_round)
     return (
         scored.groupBy("doc_id")
         .agg(F.sum("tscore").alias("score"))
-        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .orderBy(F.desc(key), F.asc("doc_id"))
         .limit(k)
     )
 

@@ -334,6 +334,17 @@ def embedding_near_dup_pairs(
                 F.count("*").alias("n"),
                 F.first(F.size(F.col(vec_col))).alias("d"),
             ).first()
+            if int(row["n"]) == 0:
+                # empty input: F.first over zero rows yields d=None and
+                # hyperplanes(None, ...) would TypeError — no pairs exist
+                spark = emb.sparkSession
+                return spark.createDataFrame(
+                    [], "id_a string, id_b string, cosine double"
+                ).select(
+                    F.col("id_a").cast(emb.schema[id_col].dataType),
+                    F.col("id_b").cast(emb.schema[id_col].dataType),
+                    "cosine",
+                )
             dim = dim if dim is not None else row["d"]
             if lsh_bits is None:
                 lsh_bits = derived_lsh_bits(int(row["n"]), target_bucket_rows)

@@ -152,3 +152,52 @@ def test_snapshot_concurrent_commits(spark, tmp_path):
     log = snapshot_log(root)
     assert sorted(e["id"] for e in log) == sorted(sids)  # none dropped
     assert len({e["dir"] for e in log}) == 4
+
+
+def test_expire_snapshots(spark, tmp_path):
+    """Retention GC: commit 4, expire to keep_last=2 -> v1/v2 dirs gone,
+    log holds exactly the retained tail with a truncated (but audited)
+    parent chain, and time travel to every retained snapshot still
+    works.  Second expire is a no-op."""
+    import json
+    import os
+
+    from information_retrieval_system_spark.config import EngineConfig
+    from information_retrieval_system_spark.index.builder import build_index
+    from information_retrieval_system_spark.index.snapshots import (
+        commit_snapshot, expire_snapshots, read_snapshot, snapshot_lineage,
+        snapshot_log)
+
+    cfg = EngineConfig(use_stopwords=False, use_stemmer=False)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    root = str(tmp_path / "snaps")
+    sids = []
+    for i, cap in enumerate((100, 200, 300, 400)):
+        tables = build_index(docs.filter(f"doc_id < {cap}"), cfg,
+                             doc_col="doc_id", text_col="text",
+                             with_positions=False)
+        sids.append(commit_snapshot(tables, root, cfg, note=f"gen-{i}"))
+    v3_terms = sorted((r.term, r.df)
+                      for r in read_snapshot(spark, root, sids[2]).terms.collect())
+
+    expired = expire_snapshots(root, keep_last=2)
+    assert expired == sids[:2]
+    for sid in sids[:2]:
+        assert not os.path.isdir(os.path.join(root, f"v{sid}"))
+    log = snapshot_log(root)
+    assert [e["id"] for e in log] == sids[2:]
+    # parent chain truncated to retained ancestors, audit field kept
+    assert log[0]["parent"] is None
+    assert log[0]["expired_parent"] == sids[1]
+    assert log[1]["parent"] == sids[2]
+    assert [e["id"] for e in snapshot_lineage(root)] == [sids[3], sids[2]]
+    # retained snapshots still read byte-identically
+    assert sorted((r.term, r.df)
+                  for r in read_snapshot(spark, root, sids[2]).terms.collect()) == v3_terms
+    assert read_snapshot(spark, root).docs.count() == \
+        read_snapshot(spark, root, sids[3]).docs.count()
+    # idempotent: nothing left past the horizon
+    assert expire_snapshots(root, keep_last=2) == []
+    # log file is valid json on disk (consistency after the rewrite)
+    with open(os.path.join(root, "snapshots.json")) as f:
+        assert [e["id"] for e in json.load(f)] == sids[2:]

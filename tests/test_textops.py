@@ -383,3 +383,16 @@ def test_prefix_suggest_plan_and_values(spark, sf_small):
     dfs = [r.df for r in sorted(rows, key=lambda r: r.rank)]
     assert dfs == sorted(dfs, reverse=True) and 1 <= len(rows) <= 3
     assert not [r for r in out.collect() if r.prefix == "zz"]
+
+
+def test_embedding_near_dup_empty_input(spark):
+    """Empty frame with derived lsh_bits: short-circuits to an empty
+    pair set instead of TypeError-ing on dim=None (round-4 ADVICE)."""
+    from information_retrieval_system_spark.textops.similarity import (
+        embedding_near_dup_pairs)
+
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    out = embedding_near_dup_pairs(emb, threshold=0.9)
+    assert out.columns == ["id_a", "id_b", "cosine"]
+    assert out.count() == 0
+    assert out.schema["id_a"].dataType.simpleString() == "bigint"
