@@ -82,12 +82,18 @@ FROM ranked WHERE rank <= {BATCH_K}
 """
 
 
-def sql_batch_results_cte() -> str:
+def sql_batch_results_cte(q_block: str | None = None) -> str:
     """CTE chain ending in ``results(qid, doc_id, score, rank)`` with
     UNROUNDED BM25 scores and ranks computed on them (rank <= BATCH_K).
     Shared by every oracle that CONSUMES batch results (fusion, P@k/MRR):
     re-ranking on SQL_BATCH_BM25's 4-decimal-rounded scores can swap
-    near-tied docs relative to the engine's unrounded ordering."""
+    near-tied docs relative to the engine's unrounded ordering.
+
+    ``q_block`` overrides the query-set CTE(s): any helper CTEs plus a
+    final ``q(qid, term)`` (may reference ``post``/``toks``) — used by
+    the corrected-query lifecycle to source q from the spelling
+    corrector instead of literal VALUES."""
+    qb = q_block or f"q AS (SELECT qid, term FROM {_sql_batch_queries()})"
     return f"""{EQ.TOKS_CTE.strip().rstrip()},
 post AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
 dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM post GROUP BY 1),
@@ -95,7 +101,7 @@ dl AS (SELECT d.doc_id, CAST(coalesce(t.dl, 0) AS DOUBLE) AS dl
        FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1) t USING (doc_id)),
 stats AS (SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS nd,
                  CAST((SELECT count(*) FROM toks) // (SELECT count(*) FROM documents) AS DOUBLE) AS avgdl),
-q AS (SELECT qid, term FROM {_sql_batch_queries()}),
+{qb},
 scored AS (
   SELECT q.qid, p.doc_id,
          (ln((s.nd - f.df + 0.5) / (f.df + 0.5)) / ln(2))
@@ -577,6 +583,53 @@ FROM scored GROUP BY doc_id
 ORDER BY sum(ts) DESC, doc_id ASC
 LIMIT {EQ.TOPK}
 """
+
+
+# --- corrected-batch lifecycle pieces (shared with entry_graph) --------------
+
+#: typo'd twin of BATCH_QUERIES — the degraded-query lifecycle input:
+#: substitutions (spork->spark), transpositions (jion->join,
+#: filtre->filter), insertions (windoww->window), exact hits
+#: (self-suggest at distance 0), and one uncorrectable term (zzzzqq —
+#: its qid drops out entirely, like the reference returning nothing
+#: for an unknown query)
+TYPO_BATCH = [
+    (1, ("spork", "jion", "merge")),
+    (2, ("vector", "stream", "windoww")),
+    (3, ("batch", "group")),
+    (4, ("zzzzqq",)),
+    (5, ("filtre", "sort", "key", "hash")),
+]
+
+
+def sql_corrected_q_block() -> str:
+    """Helper CTEs + ``q(qid, term)`` sourcing the batch query set from
+    the spelling corrector (references ``post`` from the results chain):
+    per (qid, qterm) deletion-variant blocking -> Damerau verify ->
+    top-1 suggestion -> per-qid DISTINCT corrected term set.  Plug into
+    ``sql_batch_results_cte(q_block=...)``."""
+    rows = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in TYPO_BATCH for t in terms
+    )
+    dels, trans = SQL_DELS, SQL_TRANS
+    return f"""vocab AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term),
+vidx AS (SELECT term, df, unnest({dels.format(c='term')}) AS variant FROM vocab),
+q0 AS (SELECT qid, qterm FROM (VALUES {rows}) t(qid, qterm)),
+qv AS (SELECT qid, qterm, unnest({dels.format(c='qterm')}) AS variant FROM q0),
+cand0 AS (
+  SELECT DISTINCT qid, qterm, term, df,
+         CASE WHEN qterm <> term AND list_contains({trans.format(c='qterm')}, term)
+              THEN least(levenshtein(qterm, term), 1)
+              ELSE levenshtein(qterm, term) END AS distance
+  FROM qv JOIN vidx USING (variant)
+),
+best AS (
+  SELECT qid, qterm, term AS suggestion,
+         row_number() OVER (PARTITION BY qid, qterm
+                            ORDER BY distance ASC, df DESC, term ASC) AS rn
+  FROM cand0 WHERE distance <= 1
+),
+q AS (SELECT DISTINCT qid, suggestion AS term FROM best WHERE rn = 1)"""
 
 
 # --- EXTERNAL expansion dictionary (shipped fixture, R6/R7) ------------------

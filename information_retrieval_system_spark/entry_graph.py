@@ -165,14 +165,14 @@ def q_batch_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_batch_fusion() -> str:
+def _sql_batch_fusion(q_block: str | None = None) -> str:
     # built on the UNROUNDED shared batch-results CTE (SQL_BATCH_BM25
     # rounds scores to 4 decimals for its own gate; fusion consumes raw)
     from .entry_batch import sql_batch_results_cte
 
     return f"""
 WITH RECURSIVE
-{sql_batch_results_cte()},
+{sql_batch_results_cte(q_block)},
 {EDGES_CTE.strip().rstrip()},
 pr(iter, id, rank) AS (
   SELECT 0, doc_id, 1.0 / (SELECT n FROM n) FROM documents
@@ -238,7 +238,65 @@ def q_routed_batch_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: splits the CORRECTED batch into mixed routes at sf0.01 (corrected
+#: Σdf: qid1=1172, qid2=1160, qid3=787, qid5=1548; qid4 uncorrectable,
+#: drops out) — qid3 goes exhaustive, qids 1/2/5 go WAND; the oracle is
+#: route-free because both paths are exact
+CRF_MIN_POSTINGS = 1000
+
+
+def q_corrected_routed_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL degraded-query lifecycle in-plan (VERDICT r4 #5): a
+    typo'd multi-query set -> SymSpell correction against the index
+    vocabulary (per-qid suggestion sets as a DataFrame — no driver
+    round-trip), the uncorrectable qid drops out -> cost-based batch
+    routing (ONE collect splits qids into <=2 exact scoring plans) ->
+    per-qid pagerank fusion with in-plan normalizers — the reference's
+    interactive loop (Search_FR.java:1265-1319) composed end-to-end."""
+    from .entry_batch import BATCH_K, TYPO_BATCH, get_blocks
+    from .query.spelling import correct_terms
+    from .query.wand import route_batch_bm25
+
+    ix = EQ.get_index(spark, sf_dir)
+    blocks, dlb = get_blocks(spark, sf_dir)
+    q = spark.createDataFrame(
+        [(qid, t) for qid, terms in TYPO_BATCH for t in terms],
+        "qid long, qterm string",
+    )
+    corrected = correct_terms(ix.terms.select("term", "df"), q, max_distance=1)
+    qt = (
+        corrected.filter(F.col("suggestion").isNotNull())
+        .select("qid", F.col("suggestion").alias("term"))
+        .distinct()
+        .withColumn("qtf", F.lit(1.0))
+    )
+    res, routes = route_batch_bm25(
+        ix, blocks, dlb, qt, k=BATCH_K, cfg=EQ.NOSTEM_CFG,
+        block_span=256, wand_min_postings=CRF_MIN_POSTINGS,
+    )
+    ranks = pagerank(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id"),
+        _edges(spark, sf_dir), _pr_cfg(),
+    )
+    docs_pr = attach_pagerank(ix.docs, ranks)
+    fused = scoring.batch_fuse_with_pagerank(
+        res.select("qid", "doc_id", "score"), docs_pr, EngineConfig()
+    )
+    return fused.select(
+        F.col("qid").cast("long").alias("qid"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _sql_corrected_routed_fusion() -> str:
+    from .entry_batch import sql_corrected_q_block
+
+    return _sql_batch_fusion(sql_corrected_q_block())
+
+
 GRAPH_QUERIES = {
+    "corrected_routed_fusion": q_corrected_routed_fusion,
     "routed_batch_fusion": q_routed_batch_fusion,
     "pagerank": q_pagerank,
     "fusion_topk": q_fusion_topk,
@@ -246,6 +304,7 @@ GRAPH_QUERIES = {
 }
 
 GRAPH_ORACLES = {
+    "corrected_routed_fusion": _sql_corrected_routed_fusion(),
     "routed_batch_fusion": _sql_batch_fusion(),
     "pagerank": SQL_PAGERANK,
     "fusion_topk": SQL_FUSION_TOPK,
