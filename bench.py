@@ -116,6 +116,20 @@ def run_suite(parallelism: int, sf_dir: str) -> dict:
         zipf["zipf_rank_identical"] = all(
             q["identical_topk"] for q in z["queries"].values()
         )
+        # routed 635-query Run_B6 shape: ONE batched call vs the
+        # per-query loop (measured head-to-head on a sample;
+        # 635-scale loop cost extrapolated per-query, labelled _est)
+        br = z.get("batch_routed")
+        if br:
+            zipf["batch_routed_635"] = br["batch_sec"]
+            zipf["batch_routed_635_routes_wand"] = br["routes_wand"]
+            zipf["batch_routed_635_routes_exhaustive"] = br["routes_exhaustive"]
+            zipf["batch_routed_loop_sample_n"] = br["loop_sample_n"]
+            zipf["batch_routed_loop_sample_sec"] = br["loop_sample_sec"]
+            zipf["batch_routed_batch_sample_sec"] = br["batch_sample_sec"]
+            zipf["batch_routed_speedup_sample_measured"] = br["speedup_sample_measured"]
+            zipf["batch_routed_speedup635_est"] = br["speedup_635_est"]
+            zipf["batch_routed_identical"] = br["loop_batch_identical"]
 
     # headline value = the sf-suite wall time (comparable across rounds);
     # the zipf crossover's one-time corpus build/encode is reported in the
@@ -197,6 +211,15 @@ def run_scaling(sf_dir: str, sf: str) -> None:
 
     n_lo = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
     n_hi = 4 * n_lo
+    # host co-probes bracketing the measurement (same session): the
+    # sha256 burn is cache-resident (sees only CPU delivery), the
+    # STREAM triad is DRAM-resident (sees only the shared memory bus).
+    # burn_eff ~1.0 + triad_eff << 1.0 + build_eff ~= triad_eff is the
+    # DIRECT bandwidth attribution of the (4,16) residual — each real
+    # 4N executor brings its own memory bus, so it doesn't transfer.
+    from tools.host_probe import probe_pair
+
+    probe_pre = probe_pair(n_lo)
     for _ in range(reps):
         for par in (n_lo, n_hi):
             n_docs, build_s, ql = one_rep(par)
@@ -209,6 +232,7 @@ def run_scaling(sf_dir: str, sf: str) -> None:
         cur["build_sec"] = round(cur["build_sec"], 3)
         cur["docs_per_sec"] = round(cur["n_docs"] / cur["build_sec"], 1)
         cur["query_latency_sec"] = round(cur["query_latency_sec"], 3)
+    probe_post = probe_pair(n_lo)
     thr_lo, thr_hi = results[n_lo]["docs_per_sec"], results[n_hi]["docs_per_sec"]
     eff = thr_hi / (thr_lo * 4.0)
     print(json.dumps({
@@ -217,6 +241,8 @@ def run_scaling(sf_dir: str, sf: str) -> None:
         "N": results[n_lo],
         "4N": results[n_hi],
         "scaling_efficiency": round(eff, 4),
+        "host_probe_pre": probe_pre,
+        "host_probe_post": probe_post,
         "expand_factor": factor,
         "sf": sf,
     }))

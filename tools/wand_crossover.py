@@ -49,9 +49,117 @@ def zipf_query_ranks(vocab: int) -> list[tuple[int, int, int]]:
     ]
 
 
+_P = 2_147_483_647
+
+
+def batch_zipf_queries(vocab: int, n: int = 635) -> dict[int, list[str]]:
+    """Deterministic Run_B6-shaped query set: ``n`` queries of 1-4
+    terms whose vocabulary ranks are Zipf-spread (rank = vocab^u, u
+    hash-uniform — same sampling law as the corpus), so the set
+    naturally mixes head-heavy queries (WAND's regime) with all-tail
+    queries (exhaustive's regime).  No RNG state: query i is a pure
+    function of (i, vocab), reproducible across rounds."""
+    from information_retrieval_system_spark.sources.zipf import rank_token
+
+    qs: dict[int, list[str]] = {}
+    for i in range(n):
+        nt = 1 + (i % 4)
+        terms = set()
+        for j in range(nt):
+            u = ((i * 2654435761 + j * 40503 + 13) % _P) / _P
+            terms.add(rank_token(max(1, int(vocab ** u))))
+        qs[i] = sorted(terms)
+    return qs
+
+
+def run_batch_routed(spark, six, b_all, dlb_served, vocab: int,
+                     block_span: int, term_buckets: int, k: int = 20,
+                     n_queries: int = 635, sample_n: int = 24,
+                     wand_min_postings: int = 100_000) -> dict:
+    """The reference's 635-query Run_B6 loop (Search_FR.java:1265-1319
+    runs them one at a time) vs ONE routed batch over the same persisted
+    layouts:
+
+    - ``batch_sec``: route_batch_bm25 over all ``n_queries`` — one
+      driver collect routes every qid, <=2 scoring plans total;
+    - ``loop_sample``: the first ``sample_n`` queries through the
+      per-query route_bm25 loop (each = its own routing job + scoring
+      plan), plus the SAME sample batched — a fully measured
+      apples-to-apples speedup; the 635-scale speedup is then
+      per-query-extrapolated (labelled _est — a full 635-query loop
+      is minutes of driver-loop overhead, which is the point).
+    """
+    from pyspark.sql import functions as F
+
+    from information_retrieval_system_spark.query.wand import (
+        route_batch_bm25, route_bm25)
+
+    cfg = EngineConfig(use_stopwords=False, use_stemmer=False)
+    queries = batch_zipf_queries(vocab, n_queries)
+
+    def batch_df(qids):
+        rows = [(q, t, 1.0) for q in qids for t in queries[q]]
+        return spark.createDataFrame(rows, "qid long, term string, qtf double")
+
+    # warm both paths (JIT, codegen, python worker pool)
+    route_batch_bm25(six, b_all, dlb_served, batch_df(range(4)), k=k,
+                     cfg=cfg, block_span=block_span,
+                     term_buckets=term_buckets,
+                     wand_min_postings=wand_min_postings)[0].collect()
+
+    t0 = time.perf_counter()
+    res, routes = route_batch_bm25(
+        six, b_all, dlb_served, batch_df(range(n_queries)), k=k, cfg=cfg,
+        block_span=block_span, term_buckets=term_buckets,
+        wand_min_postings=wand_min_postings)
+    full = {(r.qid, r.rank): (r.doc_id, round(r.score, 6)) for r in res.collect()}
+    batch_sec = time.perf_counter() - t0
+
+    sample = list(range(sample_n))
+    t0 = time.perf_counter()
+    loop_out: dict = {}
+    for q in sample:
+        qt = batch_df([q])
+        one, _ = route_bm25(six, b_all, dlb_served, qt.select("term", "qtf"),
+                            k=k, cfg=cfg, block_span=block_span,
+                            term_buckets=term_buckets,
+                            wand_min_postings=wand_min_postings)
+        for rank, r in enumerate(one.collect(), start=1):
+            loop_out[(q, rank)] = (r.doc_id, round(r.score, 6))
+    loop_sample_sec = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    bs, _ = route_batch_bm25(six, b_all, dlb_served, batch_df(sample), k=k,
+                             cfg=cfg, block_span=block_span,
+                             term_buckets=term_buckets,
+                             wand_min_postings=wand_min_postings)
+    bs_rows = {(r.qid, r.rank): (r.doc_id, round(r.score, 6)) for r in bs.collect()}
+    batch_sample_sec = time.perf_counter() - t0
+
+    sample_keys = {kk for kk in full if kk[0] < sample_n}
+    per_q = loop_sample_sec / sample_n
+    return {
+        "n_queries": n_queries,
+        "batch_sec": round(batch_sec, 3),
+        "routes_wand": sum(1 for v in routes.values() if v == "wand"),
+        "routes_exhaustive": sum(1 for v in routes.values() if v == "exhaustive"),
+        "loop_sample_n": sample_n,
+        "loop_sample_sec": round(loop_sample_sec, 3),
+        "loop_per_query_sec": round(per_q, 4),
+        "batch_sample_sec": round(batch_sample_sec, 3),
+        "speedup_sample_measured": round(loop_sample_sec / batch_sample_sec, 2)
+        if batch_sample_sec > 0 else None,
+        "speedup_635_est": round((per_q * n_queries) / batch_sec, 2)
+        if batch_sec > 0 else None,
+        "loop_batch_identical": (
+            bs_rows == {kk: v for kk, v in full.items() if kk[0] < sample_n}
+            and loop_out == bs_rows),
+    }
+
+
 def run_zipf_crossover(spark, n_docs: int, vocab: int, block_span: int = 4096,
                        term_buckets: int = 64, reps: int = 3, k: int = 20,
-                       work_dir: str | None = None) -> dict:
+                       work_dir: str | None = None, batch_n: int = 635) -> dict:
     """Build the Zipf corpus + both persisted layouts, then time
     exhaustive-served vs WAND-served per query (min over reps).
     Returns the result dict (also used by bench.py)."""
@@ -159,6 +267,11 @@ def run_zipf_crossover(spark, n_docs: int, vocab: int, block_span: int = 4096,
             "speedup": round(t_ex / t_wd, 2) if t_wd > 0 else None,
             "identical_topk": same,
         }
+    if batch_n:
+        out["batch_routed"] = run_batch_routed(
+            spark, six, b_all, dlb_served, vocab,
+            block_span=block_span, term_buckets=term_buckets, k=k,
+            n_queries=batch_n)
     six.terms.unpersist(); six.docs.unpersist()
     return out
 
