@@ -29,14 +29,16 @@ def _burn_worker(seconds: float, out) -> None:
     import hashlib
 
     buf = b"x" * 64
-    t_end = time.perf_counter() + seconds
+    for _ in range(4000):  # warm-up (interpreter, CPU freq)
+        buf = (hashlib.sha256(buf).digest() + b"x" * 32)[:64]
+    t0 = time.perf_counter()
+    t_end = t0 + seconds
     n = 0
     while time.perf_counter() < t_end:
         for _ in range(2000):
-            buf = hashlib.sha256(buf).digest() + b"x" * 32
-            buf = buf[:64]
+            buf = (hashlib.sha256(buf).digest() + b"x" * 32)[:64]
         n += 2000
-    out.put(n / seconds)
+    out.put(n / (time.perf_counter() - t0))
 
 
 def _triad_worker(seconds: float, mb_per_array: int, out) -> None:
@@ -45,17 +47,24 @@ def _triad_worker(seconds: float, mb_per_array: int, out) -> None:
     n = (mb_per_array * 1_000_000) // 8
     b = np.full(n, 1.5)
     c = np.full(n, 2.5)
-    a = np.empty(n)
-    t_end = time.perf_counter() + seconds
+    a = np.zeros(n)  # TOUCHED pages: np.empty would page-fault in-loop
+    # warm-up: fault every page, spin the allocator, settle CPU freq —
+    # the first measured iteration must already be steady-state DRAM
+    for _ in range(2):
+        np.multiply(c, 0.5, out=a)
+        np.add(a, b, out=a)
+    t0 = time.perf_counter()
+    t_end = t0 + seconds
     iters = 0
     while time.perf_counter() < t_end:
         np.multiply(c, 0.5, out=a)
         np.add(a, b, out=a)
         iters += 1
-    # bytes touched per iter: read b + read c (twice: once per op) +
-    # write a (twice) ≈ conservatively 4 arrays' worth; report a
-    # CONSISTENT convention (ratios are what matter, not absolutes)
-    out.put(iters * 4 * n * 8 / seconds / 1e9)
+    elapsed = time.perf_counter() - t0
+    # bytes touched per iter: read b + read c (once per op) + write a
+    # (twice) ≈ 4 arrays' worth; a CONSISTENT convention (the N-vs-4N
+    # ratio is the signal, not the absolute)
+    out.put(iters * 4 * n * 8 / elapsed / 1e9)
 
 
 def _run(worker, workers: int, seconds: float, *args) -> float:
@@ -81,19 +90,27 @@ def triad(workers: int, seconds: float = 1.5, mb_per_array: int = 192) -> float:
     return _run(_triad_worker, workers, seconds, mb_per_array)
 
 
-def probe_pair(n_lo: int = 4, seconds: float = 1.5) -> dict:
+def probe_pair(n_lo: int = 4, seconds: float = 1.5, reps: int = 2) -> dict:
     """Burn + triad at N and 4N workers -> the two scaling ratios.
     ``*_eff`` is throughput(4N) / (4 x throughput(N)): 1.0 = the
     resource quadruples with threads, 0.25 = it is fully saturated
-    already at N."""
+    already at N.  Levels are INTERLEAVED and the max per level kept
+    (hypervisor steal hits a window, not a level — same methodology as
+    the scaling bench's min-of-reps)."""
     n_hi = 4 * n_lo
     out: dict = {"n_lo": n_lo, "n_hi": n_hi}
-    out["burn_lo_hps"] = round(cpu_burn(n_lo, seconds), 0)
-    out["burn_hi_hps"] = round(cpu_burn(n_hi, seconds), 0)
-    out["burn_eff"] = round(out["burn_hi_hps"] / (4.0 * out["burn_lo_hps"]), 3)
-    out["triad_lo_gbps"] = round(triad(n_lo, seconds), 2)
-    out["triad_hi_gbps"] = round(triad(n_hi, seconds), 2)
-    out["triad_eff"] = round(out["triad_hi_gbps"] / (4.0 * out["triad_lo_gbps"]), 3)
+    b_lo = b_hi = t_lo = t_hi = 0.0
+    for _ in range(max(reps, 1)):
+        b_lo = max(b_lo, cpu_burn(n_lo, seconds))
+        b_hi = max(b_hi, cpu_burn(n_hi, seconds))
+        t_lo = max(t_lo, triad(n_lo, seconds))
+        t_hi = max(t_hi, triad(n_hi, seconds))
+    out["burn_lo_hps"] = round(b_lo, 0)
+    out["burn_hi_hps"] = round(b_hi, 0)
+    out["burn_eff"] = round(b_hi / (4.0 * b_lo), 3)
+    out["triad_lo_gbps"] = round(t_lo, 2)
+    out["triad_hi_gbps"] = round(t_hi, 2)
+    out["triad_eff"] = round(t_hi / (4.0 * t_lo), 3)
     return out
 
 
