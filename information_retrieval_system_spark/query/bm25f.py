@@ -115,7 +115,7 @@ def bm25f_search(
     BM25 convention).  All stats are computed in-plan; the only driver
     values are N and avgdl (two scalars, one tiny job) — the same
     scalar-stats pattern as build_index.  For a build-once/query-many
-    serving path use :func:`build_fielded_index` +
+    serving path use :func:`write_fielded_index` +
     :func:`bm25f_search_served` instead (the reference builds its index
     once and queries it many times, Indexer.java:597-686)."""
     weights = field_weights_tenths or DEFAULT_FIELD_WEIGHTS_TENTHS

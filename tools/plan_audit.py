@@ -79,6 +79,16 @@ def main() -> None:
             "WAND cogroup + exhaustive batch join) unioned into the "
             "in-plan per-qid fusion normalizer — no per-query driver "
             "round-trips."),
+        "s2_bm25f_served (persisted fielded layout)": (
+            "No tokenization anywhere: the fielded postings scan shows "
+            "PartitionFilters on `bucket` (the query terms' hash buckets); "
+            "broadcast df/query joins, one per-doc agg, "
+            "TakeOrderedAndProject."),
+        "corrected_routed_fusion (correction -> routing -> fusion)": (
+            "The corrector is joins (deletion-variant equi-join + window "
+            "top-1) feeding the routed batch plans; no vocabulary scan per "
+            "query term, no BroadcastNestedLoopJoin, suggestion set never "
+            "leaves the plan except the one routing collect."),
     }
 
     q = EQ.QUERIES
@@ -94,6 +104,8 @@ def main() -> None:
         "s2_bm25f (field-weighted BM25)": q["s2_bm25f"],
         "prefix_suggest (vocabulary auto-complete)": q["prefix_suggest"],
         "routed_batch_fusion (routed query set + fusion)": q["routed_batch_fusion"],
+        "s2_bm25f_served (persisted fielded layout)": q["s2_bm25f_served"],
+        "corrected_routed_fusion (correction -> routing -> fusion)": q["corrected_routed_fusion"],
     }
 
     out = [
