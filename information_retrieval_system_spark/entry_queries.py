@@ -528,6 +528,8 @@ _GRADE_FIRST = [
     # new in round 5
     "s2_bm25f_served",
     "corrected_routed_fusion",
+    "merged_snapshot_term_df",
+    "merged_snapshot_bm25",
     # re-grade the round-4 signed-zero fix
     "bigram_pmi",
 ]

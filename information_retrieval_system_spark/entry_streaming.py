@@ -216,7 +216,94 @@ SELECT DISTINCT sha256(substr(text, 1, 120)) AS content_sha FROM documents
 """
 
 
+_MERGED: dict[str, str] = {}
+
+MERGE_SPLIT_DOC_ID = 250
+
+
+def _merged_snapshot_root(spark: SparkSession, sf_dir: str) -> str:
+    """The FULL index-update lifecycle, executed once per sf_dir:
+
+    1. snapshot v1 = batch build over the docs with
+       doc_id < MERGE_SPLIT_DOC_ID (the corpus as first crawled);
+    2. the REMAINING docs land as parquet files and flow through the
+       Structured-Streaming incremental indexer into per-batch deltas
+       (the ongoing crawl);
+    3. v2 = merge_into_snapshot: v1 ∪ deltas re-derived and committed
+       as a new immutable snapshot (operation "merge-append").
+
+    The gates read the CURRENT snapshot (v2) against the batch oracles
+    over the WHOLE documents table — update must be value-invisible —
+    and v1 stays time-travelable underneath."""
+    if sf_dir not in _MERGED:
+        from .index.builder import build_index
+        from .index.snapshots import commit_snapshot, snapshot_lineage
+        from .streaming.incremental import merge_into_snapshot
+
+        base = os.path.join(tempfile.gettempdir(), "irs_snapmerge",
+                            f"pid{os.getpid()}",
+                            sf_dir.strip("/").replace("/", "_"))
+        shutil.rmtree(base, ignore_errors=True)
+        root = os.path.join(base, "snaps")
+        docs = EQ.load_documents(spark, sf_dir)
+        v1 = commit_snapshot(
+            build_index(docs.filter(F.col("doc_id") < MERGE_SPLIT_DOC_ID),
+                        EQ.NOSTEM_CFG, doc_col="doc_id", text_col="text",
+                        with_positions=False),
+            root, EQ.NOSTEM_CFG, operation="initial-build")
+        in_dir = os.path.join(base, "in")
+        docs.filter(F.col("doc_id") >= MERGE_SPLIT_DOC_ID).repartition(8) \
+            .write.parquet(in_dir)
+        q = incremental_index_stream(
+            spark, in_dir,
+            checkpoint_dir=os.path.join(base, "ckpt"),
+            out_dir=os.path.join(base, "delta"),
+            cfg=EQ.NOSTEM_CFG,
+        )
+        try:
+            finished = q.awaitTermination(STREAM_TIMEOUT_SEC)
+        finally:
+            q.stop()
+        if not finished:
+            raise RuntimeError(f"merge-lifecycle stream did not drain ({base})")
+        v2 = merge_into_snapshot(spark, root, os.path.join(base, "delta"),
+                                 EQ.NOSTEM_CFG, note="streamed crawl delta")
+        lineage = [e["id"] for e in snapshot_lineage(root)]
+        assert lineage == [v2, v1], lineage
+        _MERGED[sf_dir] = root
+    return _MERGED[sf_dir]
+
+
+def q_merged_snapshot_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term stats from the CURRENT snapshot after the batch->stream->
+    merge-append lifecycle, against the batch oracle over the whole
+    corpus: the update path must be value-invisible."""
+    from .index.snapshots import read_snapshot
+
+    root = _merged_snapshot_root(spark, sf_dir)
+    ix = read_snapshot(spark, root)
+    return ix.terms.select("term", F.col("df").cast("long").alias("df"),
+                           F.col("cf").cast("long").alias("cf"))
+
+
+def q_merged_snapshot_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k SERVED from the merge-committed snapshot (same oracle
+    as the batch bm25_topk — scoring reads df/dl/avgdl through the
+    merged stats, so any merge drift would surface in scores)."""
+    from .index.snapshots import read_snapshot
+    from .query import scoring
+
+    root = _merged_snapshot_root(spark, sf_dir)
+    ix = read_snapshot(spark, root)
+    res = scoring.bm25_search(ix, EQ.query_terms_df(spark), k=EQ.TOPK,
+                              cfg=EQ.NOSTEM_CFG)
+    return res.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      F.round("score", 4).alias("score"))
+
+
 STREAMING_QUERIES = {
+    "merged_snapshot_term_df": q_merged_snapshot_term_df,
+    "merged_snapshot_bm25": q_merged_snapshot_bm25,
     "stream_dedup": q_stream_dedup,
     "stream_term_df": q_stream_term_df,
     "compacted_term_df": q_compacted_term_df,
@@ -226,6 +313,8 @@ STREAMING_QUERIES = {
 from .entry_eval import SQL_EVENTS_TUMBLING  # noqa: E402  (loaded before this module)
 
 STREAMING_ORACLES = {
+    "merged_snapshot_term_df": EQ.SQL_TERM_DF,
+    "merged_snapshot_bm25": EQ.SQL_BM25_TOPK,
     "stream_dedup": SQL_STREAM_DEDUP,
     "stream_term_df": EQ.SQL_TERM_DF,
     "compacted_term_df": EQ.SQL_TERM_DF,

@@ -122,14 +122,25 @@ def compact_to_snapshot(spark: SparkSession, delta_dir: str, snapshot_root: str,
                            operation="compaction", note=note)
 
 
-def _compacted_tables(spark: SparkSession, delta_dir: str):
+def _tables_from_view(postings: DataFrame, docs: DataFrame):
+    """(term, doc_id, tf) + (doc_id, length) -> full IndexTables:
+    terms/stats re-derived by one aggregation each, VSM norms with the
+    builder's floor-idf quirk, integer doc ids (doc_int == doc_id).
+    Shared by delta compaction and snapshot merge — both are 'derive
+    the global tables from a posting-row union' jobs."""
     import math
 
     from ..index.builder import IndexTables
 
-    postings, docs, terms, stats = merged_index_view(spark, delta_dir)
+    terms = postings.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"), F.sum("tf").cast("long").alias("cf")
+    )
+    row = docs.agg(F.count("*").alias("n"), F.sum("length").alias("s")).collect()[0]
+    n_docs = int(row["n"]); total = int(row["s"] or 0)
+    stats = {"n_docs": n_docs, "total_len": total,
+             "avgdl": total // n_docs if n_docs else 0,
+             "n_postings": postings.count(), "int_doc_ids": True}
     p = postings.withColumn("doc_int", F.col("doc_id").cast("long"))
-    n_docs = stats["n_docs"]
     log2 = math.log(2.0)
     norm_df = (
         p.join(F.broadcast(terms.select("term", "df")), "term")
@@ -146,9 +157,49 @@ def _compacted_tables(spark: SparkSession, delta_dir: str):
         .withColumn("norm", F.coalesce(F.col("norm"), F.lit(0.0)))
         .withColumn("pagerank", F.lit(0.0))
     )
-    stats2 = dict(stats)
-    stats2["int_doc_ids"] = True
-    return IndexTables(postings=p, docs=docs_full, terms=terms, stats=stats2)
+    return IndexTables(postings=p, docs=docs_full, terms=terms, stats=stats)
+
+
+def _compacted_tables(spark: SparkSession, delta_dir: str):
+    postings = spark.read.parquet(
+        os.path.join(delta_dir, "postings_delta")).drop("batch_id")
+    docs = spark.read.parquet(
+        os.path.join(delta_dir, "docs_delta")).drop("batch_id")
+    return _tables_from_view(postings, docs)
+
+
+def merge_into_snapshot(
+    spark: SparkSession,
+    snapshot_root: str,
+    delta_dir: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    note: str = "",
+) -> int:
+    """The APPEND-MERGE commit — the production index-update path
+    composed end-to-end: union the CURRENT snapshot's postings/docs
+    with the accumulated streaming deltas, re-derive the global tables
+    (df/cf/stats/norms — the stream's per-batch aggregates and the
+    snapshot's doc sets are disjoint, so the union IS the posting set),
+    and commit the result as a NEW immutable snapshot
+    (operation "merge-append").  Prior snapshots stay readable
+    (time travel) and GC-able (expire_snapshots) — the Iceberg
+    append-commit analog for the serving index.
+
+    Invariant: a document lands EITHER in the snapshot or in the deltas
+    (exactly-once file landing — same invariant the streaming module
+    documents); both sides must use integer doc keys (the builder's
+    doc_int == doc_id fast path).  Returns the new snapshot id."""
+    from ..index.snapshots import commit_snapshot, read_snapshot
+
+    cur = read_snapshot(spark, snapshot_root)
+    cols = lambda df: df.select("term", "doc_id", F.col("tf").cast("long").alias("tf"))  # noqa: E731
+    dp = spark.read.parquet(os.path.join(delta_dir, "postings_delta")).drop("batch_id")
+    dd = spark.read.parquet(os.path.join(delta_dir, "docs_delta")).drop("batch_id")
+    postings = cols(cur.postings).unionByName(cols(dp))
+    docs = cur.docs.select("doc_id", "length").unionByName(dd.select("doc_id", "length"))
+    tables = _tables_from_view(postings, docs)
+    return commit_snapshot(tables, snapshot_root, cfg,
+                           operation="merge-append", note=note)
 
 
 def merged_index_view(spark: SparkSession, out_dir: str):

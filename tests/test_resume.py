@@ -201,3 +201,48 @@ def test_expire_snapshots(spark, tmp_path):
     # log file is valid json on disk (consistency after the rewrite)
     with open(os.path.join(root, "snapshots.json")) as f:
         assert [e["id"] for e in json.load(f)] == sids[2:]
+
+
+def test_merge_into_snapshot_equals_batch_build(spark, tmp_path):
+    """Append-merge commit: v1 (first half, batch) + streamed deltas
+    (second half) merge-committed as v2 must equal a from-scratch batch
+    build over ALL docs — terms, stats, and VSM norms; v1 stays
+    time-travelable underneath."""
+    from information_retrieval_system_spark.config import EngineConfig
+    from information_retrieval_system_spark.index.builder import build_index
+    from information_retrieval_system_spark.index.snapshots import (
+        commit_snapshot, read_snapshot, snapshot_log)
+    from information_retrieval_system_spark.streaming.incremental import (
+        incremental_index_stream, merge_into_snapshot)
+
+    cfg = EngineConfig(use_stopwords=False, use_stemmer=False)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    root = str(tmp_path / "snaps")
+    v1 = commit_snapshot(
+        build_index(docs.filter("doc_id < 200"), cfg, doc_col="doc_id",
+                    text_col="text", with_positions=False),
+        root, cfg, operation="initial-build")
+    in_dir = str(tmp_path / "in")
+    docs.filter("doc_id >= 200").repartition(4).write.parquet(in_dir)
+    q = incremental_index_stream(spark, in_dir, str(tmp_path / "ckpt"),
+                                 str(tmp_path / "delta"), cfg)
+    try:
+        assert q.awaitTermination(120)
+    finally:
+        q.stop()
+    v2 = merge_into_snapshot(spark, root, str(tmp_path / "delta"), cfg)
+    assert [e["operation"] for e in snapshot_log(root)] == \
+        ["initial-build", "merge-append"]
+
+    merged = read_snapshot(spark, root)  # current == v2
+    full = build_index(docs, cfg, doc_col="doc_id", text_col="text",
+                       with_positions=False)
+    assert sorted((r.term, r.df, r.cf) for r in merged.terms.collect()) == \
+        sorted((r.term, r.df, r.cf) for r in full.terms.collect())
+    for k in ("n_docs", "avgdl", "total_len", "n_postings"):
+        assert merged.stats[k] == full.stats[k], k
+    assert sorted((r.doc_id, round(r.norm, 6)) for r in merged.docs.collect()) == \
+        sorted((r.doc_id, round(r.norm, 6)) for r in full.docs.collect())
+    # v1 unchanged underneath the merge commit
+    assert read_snapshot(spark, root, v1).docs.count() == 200
+    assert v2 > v1
