@@ -530,6 +530,8 @@ _GRADE_FIRST = [
     "corrected_routed_fusion",
     "merged_snapshot_term_df",
     "merged_snapshot_bm25",
+    "tfidf_keywords",
+    "repetition_ratio",
     # re-grade the round-4 signed-zero fix
     "bigram_pmi",
 ]

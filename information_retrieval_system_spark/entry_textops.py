@@ -872,7 +872,86 @@ JOIN uni cb ON cb.t = b.term_b
 CROSS JOIN totals t
 """
 
+# --- per-doc tf-idf keyword extraction ---------------------------------------
+
+KEYWORDS_K = 3
+
+
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 keywords by tf·log2(N/df) over the shared
+    index tables — see quality.tfidf_keywords for the one-window-
+    shuffle plan shape and the round(·,9) cut convention."""
+    from . import entry_queries as EQ
+
+    ix = EQ.get_index(spark, sf_dir)
+    out = quality.tfidf_keywords(ix.postings, ix.terms,
+                                 ix.stats["n_docs"], k=KEYWORDS_K)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "term",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("w", 4).alias("w"),
+    )
+
+
+def _sql_tfidf_keywords() -> str:
+    # derives toks from the LOCAL token-array CTE: importing
+    # entry_queries.TOKS_CTE here would make entry_textops un-importable
+    # on its own (entry_queries imports this module mid-init)
+    return f"""
+WITH {TOKARR_CTE},
+toks AS (SELECT doc_id, unnest(toks) AS term FROM tokarr),
+post AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM post GROUP BY 1),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+w AS (
+  SELECT p.doc_id, p.term, p.tf * ln(n.n / f.df) / ln(2) AS w
+  FROM post p JOIN dft f USING (term) CROSS JOIN n
+),
+rk AS (
+  SELECT doc_id, term, w,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY round(w, 9) DESC, term ASC) AS rank
+  FROM w
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, term, CAST(rank AS BIGINT) AS rank,
+       round(w, 4) AS w
+FROM rk WHERE rank <= {KEYWORDS_K}
+"""
+
+
+# --- repetition quality signal ----------------------------------------------
+
+
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-trigram fraction per doc (Gopher-style repetition
+    filter signal) — no shuffle at all, pure column exprs."""
+    out = quality.repetition_ratio(_docs(spark, sf_dir), "text", "doc_id", n=3)
+    return out.select(F.col("id").cast("long").alias("doc_id"),
+                      "n_grams", "rep_ratio")
+
+
+SQL_REPETITION_RATIO = f"""
+WITH {TOKARR_CTE},
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_transform(range(len(toks) - 2),
+                   i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3])
+              ELSE [] END AS grams
+  FROM tokarr
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(grams) AS BIGINT) AS n_grams,
+       round(CASE WHEN len(grams) > 0
+                  THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
+                  ELSE 0.0 END, 4) AS rep_ratio
+FROM g
+"""
+
+
 TEXTOPS_QUERIES = {
+    "tfidf_keywords": q_tfidf_keywords,
+    "repetition_ratio": q_repetition_ratio,
     "blob_metadata": q_blob_metadata,
     "frame_samples": q_frame_samples,
     "dedup_exact": q_dedup_exact,
@@ -899,6 +978,8 @@ TEXTOPS_QUERIES = {
 }
 
 TEXTOPS_ORACLES = {
+    "tfidf_keywords": _sql_tfidf_keywords(),
+    "repetition_ratio": SQL_REPETITION_RATIO,
     "blob_metadata": SQL_BLOB_METADATA,
     "frame_samples": SQL_FRAME_SAMPLES,
     "dedup_exact": SQL_DEDUP_EXACT,

@@ -153,3 +153,79 @@ def bigram_pmi(
              / F.lit(ln2)).alias("pmi"),
         )
     )
+
+
+def tfidf_keywords(
+    postings: DataFrame,
+    terms: DataFrame,
+    n_docs: int,
+    k: int = 3,
+) -> DataFrame:
+    """Per-document keyword extraction: top-``k`` terms by
+    ``tf · log2(N / df)`` — the standard tf-idf salience cut a
+    training-data pipeline uses for doc tagging / topic sampling.
+
+    -> (doc_id, term, rank, w) with rank 1..k per doc.
+
+    Plan shape: broadcast df join onto the postings, ONE window shuffle
+    partitioned by doc_id (per-doc top-k — never a global sort).  The
+    cut orders by ``round(w, 9)`` then term — an engine-independent
+    boundary (double products differ in ulps across engines; same
+    convention as the Rocchio cuts).  ``idf >= 0`` always (df <= N),
+    so no signed-zero exposure.
+    """
+    from pyspark.sql import Window
+    import math
+
+    w = (
+        postings.join(F.broadcast(terms.select("term", "df")), "term")
+        .withColumn(
+            "w",
+            F.col("tf").cast("double")
+            * F.log(F.lit(float(n_docs)) / F.col("df").cast("double"))
+            / F.lit(math.log(2.0)),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy(
+        F.desc(F.round("w", 9)), F.asc("term"))
+    return (
+        w.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "rank", "w")
+    )
+
+
+def repetition_ratio(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Gopher-style repetition quality signal: the fraction of
+    DUPLICATE n-grams in the document's token stream
+    (``1 - distinct_ngrams / total_ngrams``; 0.0 for docs shorter than
+    ``n`` tokens).  High values flag boilerplate / degenerate text a
+    training-data pipeline drops or down-samples.
+
+    Pure column expressions (tokenize once, slide an n-window with
+    ``transform`` + ``slice`` — no explode, no shuffle at all).
+    -> (id, n_grams, rep_ratio).
+    """
+    toks = tokens_array_expr(F.col(text_col))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    total = F.size(grams)
+    ratio = F.when(
+        total > 0,
+        F.lit(1.0) - F.size(F.array_distinct(grams)) / total.cast("double"),
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col).alias("id"),
+        total.cast("long").alias("n_grams"),
+        F.round(ratio, 4).alias("rep_ratio"),
+    )
