@@ -311,33 +311,45 @@ SQL_TRANS = ("list_transform(range(1, length({c})), "
              "|| substr({c}, i, 1) || substr({c}, i + 2))")
 
 
-def _sql_spell_correct() -> str:
-    qs = ", ".join(f"'{t}'" for t in MISSPELLED)
+def sql_correction_ctes(q0_sql: str, with_qid: bool = False) -> str:
+    """The ONE SymSpell-correction CTE chain every correction oracle
+    shares (deletion-variant blocking over ``post``'s vocabulary,
+    Damerau verify with the transposition least(lev,1) CASE, top-1 per
+    query term): ``vocab``/``vidx``/``q0``/``qv``/``cand0``/``best``.
+    ``q0_sql`` supplies the query rows (must yield ``qterm`` and, with
+    ``with_qid``, ``qid``); consumers select from ``best`` (suggestion,
+    df, distance, rn).  Single definition — a semantics tweak here
+    reaches every correction oracle at once."""
     dels, trans = SQL_DELS, SQL_TRANS
-    return f"""
-WITH {EQ.TOKS_CTE},
-post AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
-vocab AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term),
+    qcols = "qid, qterm" if with_qid else "qterm"
+    return f"""vocab AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term),
 vidx AS (SELECT term, df, unnest({dels.format(c='term')}) AS variant FROM vocab),
-q AS (SELECT unnest([{qs}]) AS qterm),
-qv AS (SELECT qterm, unnest({dels.format(c='qterm')}) AS variant FROM q),
+q0 AS ({q0_sql}),
+qv AS (SELECT {qcols}, unnest({dels.format(c='qterm')}) AS variant FROM q0),
 cand0 AS (
-  SELECT DISTINCT qterm, term, df,
+  SELECT DISTINCT {qcols}, term, df,
          CASE WHEN qterm <> term AND list_contains({trans.format(c='qterm')}, term)
               THEN least(levenshtein(qterm, term), 1)
               ELSE levenshtein(qterm, term) END AS distance
   FROM qv JOIN vidx USING (variant)
 ),
-cand AS (SELECT * FROM cand0 WHERE distance <= 1),
 best AS (
-  SELECT qterm, term AS suggestion, df, distance,
-         row_number() OVER (PARTITION BY qterm
+  SELECT {qcols}, term AS suggestion, df, distance,
+         row_number() OVER (PARTITION BY {qcols}
                             ORDER BY distance ASC, df DESC, term ASC) AS rn
-  FROM cand
-)
-SELECT q.qterm, b.suggestion, CAST(b.df AS BIGINT) AS df,
+  FROM cand0 WHERE distance <= 1
+)"""
+
+
+def _sql_spell_correct() -> str:
+    qs = ", ".join(f"'{t}'" for t in MISSPELLED)
+    return f"""
+WITH {EQ.TOKS_CTE},
+post AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+{sql_correction_ctes(f"SELECT unnest([{qs}]) AS qterm")}
+SELECT q0.qterm, b.suggestion, CAST(b.df AS BIGINT) AS df,
        CAST(b.distance AS BIGINT) AS distance
-FROM q LEFT JOIN best b ON b.qterm = q.qterm AND b.rn = 1
+FROM q0 LEFT JOIN best b ON b.qterm = q0.qterm AND b.rn = 1
 """
 
 
@@ -543,27 +555,10 @@ def q_corrected_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_corrected_bm25() -> str:
     qs = ", ".join(f"'{t}'" for t in TYPO_QUERY)
-    dels, trans = SQL_DELS, SQL_TRANS
     return f"""
 WITH {EQ.TOKS_CTE},
 post AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
-vocab AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term),
-vidx AS (SELECT term, df, unnest({dels.format(c='term')}) AS variant FROM vocab),
-q0 AS (SELECT unnest([{qs}]) AS qterm),
-qv AS (SELECT qterm, unnest({dels.format(c='qterm')}) AS variant FROM q0),
-cand0 AS (
-  SELECT DISTINCT qterm, term, df,
-         CASE WHEN qterm <> term AND list_contains({trans.format(c='qterm')}, term)
-              THEN least(levenshtein(qterm, term), 1)
-              ELSE levenshtein(qterm, term) END AS distance
-  FROM qv JOIN vidx USING (variant)
-),
-best AS (
-  SELECT qterm, term AS suggestion,
-         row_number() OVER (PARTITION BY qterm
-                            ORDER BY distance ASC, df DESC, term ASC) AS rn
-  FROM cand0 WHERE distance <= 1
-),
+{sql_correction_ctes(f"SELECT unnest([{qs}]) AS qterm")},
 q AS (SELECT DISTINCT suggestion AS term FROM best WHERE rn = 1),
 dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM post GROUP BY 1),
 dl AS (SELECT d.doc_id, CAST(coalesce(t.dl, 0) AS DOUBLE) AS dl
@@ -605,30 +600,14 @@ TYPO_BATCH = [
 def sql_corrected_q_block() -> str:
     """Helper CTEs + ``q(qid, term)`` sourcing the batch query set from
     the spelling corrector (references ``post`` from the results chain):
-    per (qid, qterm) deletion-variant blocking -> Damerau verify ->
-    top-1 suggestion -> per-qid DISTINCT corrected term set.  Plug into
+    the shared correction chain threaded with qid -> per-qid DISTINCT
+    corrected term set.  Plug into
     ``sql_batch_results_cte(q_block=...)``."""
     rows = ", ".join(
         f"({qid}, '{t}')" for qid, terms in TYPO_BATCH for t in terms
     )
-    dels, trans = SQL_DELS, SQL_TRANS
-    return f"""vocab AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term),
-vidx AS (SELECT term, df, unnest({dels.format(c='term')}) AS variant FROM vocab),
-q0 AS (SELECT qid, qterm FROM (VALUES {rows}) t(qid, qterm)),
-qv AS (SELECT qid, qterm, unnest({dels.format(c='qterm')}) AS variant FROM q0),
-cand0 AS (
-  SELECT DISTINCT qid, qterm, term, df,
-         CASE WHEN qterm <> term AND list_contains({trans.format(c='qterm')}, term)
-              THEN least(levenshtein(qterm, term), 1)
-              ELSE levenshtein(qterm, term) END AS distance
-  FROM qv JOIN vidx USING (variant)
-),
-best AS (
-  SELECT qid, qterm, term AS suggestion,
-         row_number() OVER (PARTITION BY qid, qterm
-                            ORDER BY distance ASC, df DESC, term ASC) AS rn
-  FROM cand0 WHERE distance <= 1
-),
+    q0 = f"SELECT qid, qterm FROM (VALUES {rows}) t(qid, qterm)"
+    return f"""{sql_correction_ctes(q0, with_qid=True)},
 q AS (SELECT DISTINCT qid, suggestion AS term FROM best WHERE rn = 1)"""
 
 

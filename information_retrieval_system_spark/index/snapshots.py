@@ -82,6 +82,7 @@ def commit_snapshot(
     operation: str = "append",
     note: str = "",
     parent: int | None = None,
+    extra: dict | None = None,
 ) -> int:
     """Write the tables as a NEW immutable snapshot and append it to the
     log (atomic pointer swap).  Returns the new snapshot id.
@@ -131,6 +132,9 @@ def commit_snapshot(
             "n_docs": tables.stats.get("n_docs"),
             "n_postings": tables.stats.get("n_postings"),
             "dir": f"v{sid}",
+            # operation-specific metadata (e.g. merge_into_snapshot's
+            # delta batch watermark) rides the log entry
+            **(extra or {}),
         }
         tmp = _log_path(root) + f".tmp{sid}"
         with open(tmp, "w") as f:

@@ -127,11 +127,20 @@ def _tables_from_view(postings: DataFrame, docs: DataFrame):
     terms/stats re-derived by one aggregation each, VSM norms with the
     builder's floor-idf quirk, integer doc ids (doc_int == doc_id).
     Shared by delta compaction and snapshot merge — both are 'derive
-    the global tables from a posting-row union' jobs."""
+    the global tables from a posting-row union' jobs.
+
+    The posting union is persisted (disk, not exec memory) before the
+    fan-out: four downstream passes consume it (terms agg, stats count,
+    norm derivation, the layout write) and would otherwise each re-read
+    the snapshot parquet plus every delta file.  Same precedent as
+    assign_doc_ints; in production this stage is a written table."""
     import math
+
+    from pyspark import StorageLevel
 
     from ..index.builder import IndexTables
 
+    postings = postings.persist(StorageLevel.DISK_ONLY)
     terms = postings.groupBy("term").agg(
         F.count("*").cast("long").alias("df"), F.sum("tf").cast("long").alias("cf")
     )
@@ -188,18 +197,46 @@ def merge_into_snapshot(
     Invariant: a document lands EITHER in the snapshot or in the deltas
     (exactly-once file landing — same invariant the streaming module
     documents); both sides must use integer doc keys (the builder's
-    doc_int == doc_id fast path).  Returns the new snapshot id."""
-    from ..index.snapshots import commit_snapshot, read_snapshot
+    doc_int == doc_id fast path).
 
+    RE-MERGEABLE: each merge commit records the highest delta
+    ``batch_id`` it consumed (``merge_watermark`` on the log entry), and
+    the next merge only reads ``batch_id > watermark`` — so calling this
+    repeatedly as the stream keeps appending never double-counts an
+    already-merged batch.  With no deltas past the watermark (or no
+    delta dir yet) it is a NO-OP returning the current snapshot id.
+
+    The watermark is sound within ONE streaming checkpoint lineage:
+    Structured Streaming's batch_id is monotonic per checkpoint, so the
+    maintenance stream must keep its checkpoint across restarts (the
+    production shape — one logical stream per delta dir).  Pointing a
+    FRESH checkpoint at a delta dir that already has merged batches
+    would reuse low batch ids; use a new delta dir instead.
+    Returns the committed (or current) snapshot id."""
+    from ..index.snapshots import commit_snapshot, read_snapshot, snapshot_log
+
+    log = snapshot_log(snapshot_root)
+    if not log:
+        raise FileNotFoundError(f"no snapshots at {snapshot_root} to merge into")
+    wm = max((e.get("merge_watermark", -1) for e in log), default=-1)
+    p_dir = os.path.join(delta_dir, "postings_delta")
+    d_dir = os.path.join(delta_dir, "docs_delta")
+    if not os.path.isdir(p_dir):  # stream drained zero batches: no-op
+        return log[-1]["id"]
+    dp = spark.read.parquet(p_dir).filter(F.col("batch_id") > wm)
+    dd = spark.read.parquet(d_dir).filter(F.col("batch_id") > wm)
+    new_wm = dp.agg(F.max("batch_id").alias("m")).collect()[0]["m"]
+    if new_wm is None:  # nothing new past the watermark: no-op
+        return log[-1]["id"]
     cur = read_snapshot(spark, snapshot_root)
     cols = lambda df: df.select("term", "doc_id", F.col("tf").cast("long").alias("tf"))  # noqa: E731
-    dp = spark.read.parquet(os.path.join(delta_dir, "postings_delta")).drop("batch_id")
-    dd = spark.read.parquet(os.path.join(delta_dir, "docs_delta")).drop("batch_id")
     postings = cols(cur.postings).unionByName(cols(dp))
-    docs = cur.docs.select("doc_id", "length").unionByName(dd.select("doc_id", "length"))
+    docs = cur.docs.select("doc_id", "length").unionByName(
+        dd.select("doc_id", "length"))
     tables = _tables_from_view(postings, docs)
     return commit_snapshot(tables, snapshot_root, cfg,
-                           operation="merge-append", note=note)
+                           operation="merge-append", note=note,
+                           extra={"merge_watermark": int(new_wm)})
 
 
 def merged_index_view(spark: SparkSession, out_dir: str):

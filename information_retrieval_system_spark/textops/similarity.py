@@ -330,13 +330,16 @@ def embedding_near_dup_pairs(
         blk_a = blk_b = F.col(block_col).alias("_blk")
     else:
         if dim is None or lsh_bits is None:
+            # max(size) skips NULL vectors — F.first would return NULL
+            # when the first row's embedding is missing and reintroduce
+            # the dim=None TypeError the empty-input guard closes
             row = emb.select(
                 F.count("*").alias("n"),
-                F.first(F.size(F.col(vec_col))).alias("d"),
+                F.max(F.size(F.col(vec_col))).alias("d"),
             ).first()
-            if int(row["n"]) == 0:
-                # empty input: F.first over zero rows yields d=None and
-                # hyperplanes(None, ...) would TypeError — no pairs exist
+            if int(row["n"]) == 0 or row["d"] is None:
+                # empty input, or every vector NULL: no dimension to
+                # derive and no pairs can exist — return the empty set
                 spark = emb.sparkSession
                 return spark.createDataFrame(
                     [], "id_a string, id_b string, cosine double"

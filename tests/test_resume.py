@@ -246,3 +246,57 @@ def test_merge_into_snapshot_equals_batch_build(spark, tmp_path):
     # v1 unchanged underneath the merge commit
     assert read_snapshot(spark, root, v1).docs.count() == 200
     assert v2 > v1
+
+
+def test_merge_watermark_no_double_count(spark, tmp_path):
+    """Re-merging against the same delta dir must not double-count:
+    merge #2 with nothing new is a no-op (same snapshot id), and after
+    a SECOND streamed wave lands in the same dir, merge #3 consumes
+    only batches past the recorded watermark — final stats equal one
+    batch build over everything."""
+    from information_retrieval_system_spark.config import EngineConfig
+    from information_retrieval_system_spark.index.builder import build_index
+    from information_retrieval_system_spark.index.snapshots import (
+        commit_snapshot, read_snapshot, snapshot_log)
+    from information_retrieval_system_spark.streaming.incremental import (
+        incremental_index_stream, merge_into_snapshot)
+
+    cfg = EngineConfig(use_stopwords=False, use_stemmer=False)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    root = str(tmp_path / "snaps")
+    commit_snapshot(
+        build_index(docs.filter("doc_id < 150"), cfg, doc_col="doc_id",
+                    text_col="text", with_positions=False),
+        root, cfg, operation="initial-build")
+
+    # ONE logical maintenance stream: same input dir + same checkpoint
+    # across waves, so batch_id stays monotonic and the merge watermark
+    # is sound (see merge_into_snapshot's docstring)
+    in_dir = str(tmp_path / "in")
+
+    def stream_wave(pred):
+        docs.filter(pred).repartition(2).write.mode("append").parquet(in_dir)
+        q = incremental_index_stream(spark, in_dir, str(tmp_path / "ckpt"),
+                                     str(tmp_path / "delta"), cfg)
+        try:
+            assert q.awaitTermination(120)
+        finally:
+            q.stop()
+
+    stream_wave("doc_id >= 150 AND doc_id < 300")
+    v2 = merge_into_snapshot(spark, root, str(tmp_path / "delta"), cfg)
+    assert snapshot_log(root)[-1]["merge_watermark"] >= 0
+    # no new deltas -> no-op, no new snapshot
+    assert merge_into_snapshot(spark, root, str(tmp_path / "delta"), cfg) == v2
+    assert len(snapshot_log(root)) == 2
+
+    stream_wave("doc_id >= 300")
+    v3 = merge_into_snapshot(spark, root, str(tmp_path / "delta"), cfg)
+    assert v3 > v2
+    merged = read_snapshot(spark, root)
+    full = build_index(docs, cfg, doc_col="doc_id", text_col="text",
+                       with_positions=False)
+    for k in ("n_docs", "avgdl", "total_len", "n_postings"):
+        assert merged.stats[k] == full.stats[k], k
+    assert sorted((r.term, r.df, r.cf) for r in merged.terms.collect()) == \
+        sorted((r.term, r.df, r.cf) for r in full.terms.collect())

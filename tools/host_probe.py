@@ -99,12 +99,18 @@ def probe_pair(n_lo: int = 4, seconds: float = 1.5, reps: int = 2) -> dict:
     the scaling bench's min-of-reps)."""
     n_hi = 4 * n_lo
     out: dict = {"n_lo": n_lo, "n_hi": n_hi}
+    # cap aggregate triad footprint at ~3 GB: per-array size shrinks
+    # with worker count (16 workers x 3 x 192 MB would be ~9 GB next to
+    # a warm Spark JVM) but never below 64 MB — still far beyond LLC,
+    # and BOTH levels use the hi-level size so the ratio compares
+    # identical per-worker working sets
+    mb = max(64, 3072 // (3 * n_hi))
     b_lo = b_hi = t_lo = t_hi = 0.0
     for _ in range(max(reps, 1)):
         b_lo = max(b_lo, cpu_burn(n_lo, seconds))
         b_hi = max(b_hi, cpu_burn(n_hi, seconds))
-        t_lo = max(t_lo, triad(n_lo, seconds))
-        t_hi = max(t_hi, triad(n_hi, seconds))
+        t_lo = max(t_lo, triad(n_lo, seconds, mb_per_array=mb))
+        t_hi = max(t_hi, triad(n_hi, seconds, mb_per_array=mb))
     out["burn_lo_hps"] = round(b_lo, 0)
     out["burn_hi_hps"] = round(b_hi, 0)
     out["burn_eff"] = round(b_hi / (4.0 * b_lo), 3)

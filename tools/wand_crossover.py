@@ -136,7 +136,6 @@ def run_batch_routed(spark, six, b_all, dlb_served, vocab: int,
     bs_rows = {(r.qid, r.rank): (r.doc_id, round(r.score, 6)) for r in bs.collect()}
     batch_sample_sec = time.perf_counter() - t0
 
-    sample_keys = {kk for kk in full if kk[0] < sample_n}
     per_q = loop_sample_sec / sample_n
     return {
         "n_queries": n_queries,
