@@ -256,7 +256,47 @@ def q_snapshot_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
                               F.col("cf").cast("long").alias("cf"))
 
 
+def q_expired_snapshot_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention GC EXECUTED as a gate: commit a shrunk v1 then the
+    full-corpus v2, expire to keep_last=1 (v1's directory is deleted,
+    v2's dangling parent pointer truncated with the expired_parent
+    audit field), and grade term stats read from the surviving CURRENT
+    snapshot — against the same batch oracle as term_df.  Green means
+    GC removed exactly the expired version and nothing else."""
+    from .index.snapshots import (commit_snapshot, expire_snapshots,
+                                  read_snapshot, snapshot_log)
+
+    key = f"expire:{sf_dir}"
+    if key not in _SERVE_CACHE:
+        root = os.path.join(tempfile.gettempdir(), "irs_snapexpire", _TMP_TAG,
+                            sf_dir.strip("/").replace("/", "_"))
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+        docs = EQ.load_documents(spark, sf_dir)
+        v1 = commit_snapshot(
+            B.build_index(docs.filter(F.col("doc_id") < 100), EQ.NOSTEM_CFG,
+                          doc_col="doc_id", text_col="text", with_positions=False),
+            root, EQ.NOSTEM_CFG, operation="initial-build")
+        commit_snapshot(
+            B.build_index(docs, EQ.NOSTEM_CFG, doc_col="doc_id",
+                          text_col="text", with_positions=False),
+            root, EQ.NOSTEM_CFG, operation="re-crawl", note="full corpus")
+        expired = expire_snapshots(root, keep_last=1)
+        assert expired == [v1], expired
+        assert not os.path.isdir(os.path.join(root, f"v{v1}"))
+        log = snapshot_log(root)
+        assert len(log) == 1 and log[0]["parent"] is None \
+            and log[0]["expired_parent"] == v1, log
+        _SERVE_CACHE[key] = root
+    root = _SERVE_CACHE[key]
+    ix = read_snapshot(spark, root)
+    return ix.terms.select("term", F.col("df").cast("long").alias("df"),
+                           F.col("cf").cast("long").alias("cf"))
+
+
 SERVING_QUERIES = {
+    "expired_snapshot_term_df": q_expired_snapshot_term_df,
     "bm25_served": q_bm25_served,
     "wand_served": q_wand_served,
     "bm25_full": q_bm25_full,
@@ -267,6 +307,7 @@ SERVING_QUERIES = {
 }
 
 SERVING_ORACLES = {
+    "expired_snapshot_term_df": EQ.SQL_TERM_DF,
     "bm25_served": EQ.SQL_BM25_TOPK,
     "wand_served": EQ.SQL_BM25_TOPK,
     "bm25_full": SQL_BM25_FULL,
