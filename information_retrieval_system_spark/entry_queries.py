@@ -532,6 +532,7 @@ _GRADE_FIRST = [
     "merged_snapshot_bm25",
     "tfidf_keywords",
     "repetition_ratio",
+    "quality_sampled",
     "expired_snapshot_term_df",
     # re-grade the round-4 signed-zero fix
     "bigram_pmi",

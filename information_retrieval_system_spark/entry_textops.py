@@ -653,6 +653,40 @@ FROM m
 """
 
 
+#: per-quality-band keep rates (band = round(score·4)): keep ALL of the
+#: top band, progressively less of lower-quality strata
+SAMPLE_RATES = {0: 0.02, 1: 0.10, 2: 0.25, 3: 0.50, 4: 1.0}
+
+
+def q_quality_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-stratified deterministic sampling (training-mix
+    construction): quality_score bands -> per-band keep rates decided
+    by a salted id hash — reproducible, shuffle-free; see
+    stats.quality_stratified_sample."""
+    from .textops.stats import quality_stratified_sample
+
+    scored = quality.quality_score(_docs(spark, sf_dir), "text", "doc_id") \
+        .select("id", "score")
+    out = quality_stratified_sample(scored, SAMPLE_RATES)
+    return out.select(F.col("id").cast("long").alias("doc_id"), "score")
+
+
+def _sql_quality_sampled() -> str:
+    from .textops.hashing import h60_sql
+
+    cases = " ".join(
+        f"WHEN {b} THEN {int(round(r * 1_000_000))}"
+        for b, r in sorted(SAMPLE_RATES.items())
+    )
+    return f"""
+WITH q AS ({_sql_quality_score()})
+SELECT CAST(id AS BIGINT) AS doc_id, score
+FROM q
+WHERE ({h60_sql("'qsamp:' || CAST(id AS VARCHAR)")} % 1000000) <
+      (CASE CAST(round(score * 4) AS INT) {cases} ELSE 0 END)
+"""
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.fingerprint(_docs(spark, sf_dir), "text", "doc_id")
 
@@ -952,6 +986,7 @@ FROM g
 TEXTOPS_QUERIES = {
     "tfidf_keywords": q_tfidf_keywords,
     "repetition_ratio": q_repetition_ratio,
+    "quality_sampled": q_quality_sampled,
     "blob_metadata": q_blob_metadata,
     "frame_samples": q_frame_samples,
     "dedup_exact": q_dedup_exact,
@@ -980,6 +1015,7 @@ TEXTOPS_QUERIES = {
 TEXTOPS_ORACLES = {
     "tfidf_keywords": _sql_tfidf_keywords(),
     "repetition_ratio": SQL_REPETITION_RATIO,
+    "quality_sampled": _sql_quality_sampled(),
     "blob_metadata": SQL_BLOB_METADATA,
     "frame_samples": SQL_FRAME_SAMPLES,
     "dedup_exact": SQL_DEDUP_EXACT,

@@ -132,3 +132,34 @@ def hash_split(
     if weights is None:
         weights = {"train": 0.8, "val": 0.1, "test": 0.1}
     return df.withColumn("split", split_expr(F.col(key_col), weights))
+
+
+def quality_stratified_sample(
+    scored: DataFrame,
+    rates: dict[int, float],
+    id_col: str = "id",
+    score_col: str = "score",
+    salt: str = "qsamp",
+) -> DataFrame:
+    """Deterministic quality-stratified sampling — the training-mix
+    construction step: keep each document with a per-stratum rate
+    (e.g. keep all of the top quality band, 2% of the bottom), decided
+    by a salted md5 hash of the id — NO RNG state, so the sample is
+    reproducible across runs, partitionings, and corpus growth (a doc's
+    fate never changes), and different ``salt`` values draw independent
+    samples.
+
+    ``scored`` carries a quantized quality score (quality_score's
+    0/0.25/…/1.0 bands); ``rates`` maps band index (round(score·4) →
+    0..4) to a keep fraction.  Stratifying on the VALUE (not a rank
+    window) keeps this a pure column expression — no global ntile, no
+    shuffle, survives any corpus size.
+    """
+    band = F.round(F.col(score_col) * 4).cast("int")
+    rate = None
+    for b, r in sorted(rates.items()):
+        thr = F.lit(int(round(r * 1_000_000)))
+        rate = thr if rate is None else rate
+        rate = F.when(band == b, thr).otherwise(rate)
+    u = h60(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))) % F.lit(1_000_000)
+    return scored.filter(u < rate)

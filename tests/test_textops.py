@@ -396,3 +396,30 @@ def test_embedding_near_dup_empty_input(spark):
     assert out.columns == ["id_a", "id_b", "cosine"]
     assert out.count() == 0
     assert out.schema["id_a"].dataType.simpleString() == "bigint"
+
+
+def test_quality_stratified_sample_deterministic(spark, sf_small):
+    """The sample is a pure function of (id, score): invariant under
+    repartitioning and re-execution, honors rate ordering (higher band
+    keeps proportionally more), and rate-1.0 band keeps everything."""
+    from pyspark.sql import functions as F
+
+    from information_retrieval_system_spark.entry_textops import SAMPLE_RATES
+    from information_retrieval_system_spark.textops.quality import quality_score
+    from information_retrieval_system_spark.textops.stats import (
+        quality_stratified_sample)
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    scored = quality_score(docs, "text", "doc_id").select("id", "score")
+    a = sorted(r.id for r in quality_stratified_sample(scored, SAMPLE_RATES).collect())
+    b = sorted(r.id for r in quality_stratified_sample(
+        scored.repartition(13), SAMPLE_RATES).collect())
+    assert a == b and len(a) > 0
+    # a band with rate 1.0 keeps every member
+    full_band = scored.filter(F.round(F.col("score") * 4) == 4)
+    kept = quality_stratified_sample(full_band, SAMPLE_RATES)
+    assert kept.count() == full_band.count()
+    # a different salt draws a different (but same-law) sample
+    c = sorted(r.id for r in quality_stratified_sample(
+        scored, SAMPLE_RATES, salt="other").collect())
+    assert c != a
