@@ -506,36 +506,32 @@ _ALL_ORACLES: dict[str, str] = {
     **STREAMING_ORACLES,
 }
 
-#: ROTATION (round 5): the driver grades only the FIRST 50 registry
+#: ROTATION (round 6): the driver grades only the FIRST 50 registry
 #: entries, so the ordering rotates each round to keep every query's
-#: driver-graded evidence at most one round stale.  This round the 36
-#: names WITHOUT a CORRECTNESS_r04 row go first (they were graded in
-#: r03 and judge-selfchecked in r04), then the new round-5 queries,
-#: then ``bigram_pmi`` to re-grade the signed-zero fix; the remaining
-#: slots backfill with r04-graded queries.  Flip again next round.
+#: driver-graded evidence at most one round stale.  This round the 44
+#: names WITHOUT a CORRECTNESS_r05 row go first (all green in r04),
+#: then the new round-6 queries fill the remaining slots.  Flip again
+#: next round.
 _GRADE_FIRST = [
-    # ungraded in r04 (CORRECTNESS_r03 covers them; driver re-grades now)
-    "events_running", "blob_metadata", "frame_samples", "dedup_exact",
-    "ngram_jaccard", "minhash_signatures", "minhash_lsh_dedup",
-    "simhash", "simhash_near_dup", "cosine_topk", "lsh_topk",
-    "lsh_multiprobe_topk", "ivf_topk", "embedding_near_dup",
-    "language_id", "token_counts", "quality_score", "doc_fingerprint",
-    "value_quantiles", "kmv_distinct", "corpus_split", "pagerank",
-    "fusion_topk", "batch_fusion", "phrase_search", "batch_bm25",
-    "field_term_stats", "expanded_vsm", "term_neighbors",
-    "glove_vsm_topk", "term_antonyms", "antonym_vsm_topk", "wand_topk",
-    "batch_wand", "spell_correct", "sessionization",
-    # new in round 5
-    "s2_bm25f_served",
-    "corrected_routed_fusion",
-    "merged_snapshot_term_df",
-    "merged_snapshot_bm25",
-    "tfidf_keywords",
-    "repetition_ratio",
-    "quality_sampled",
-    "expired_snapshot_term_df",
-    # re-grade the round-4 signed-zero fix
-    "bigram_pmi",
+    # ungraded in r05 (CORRECTNESS_r04 covers them; driver re-grades now)
+    "vsm_topk", "existential", "conjunctive", "events_pivot",
+    "dedup_keep", "doc_norms", "stopword_stats", "pricing_summary",
+    "top_customers", "dedup_components", "near_dedup_keep",
+    "routed_batch_fusion", "corrected_bm25", "external_expansion_topk",
+    "rocchio_vsm_topk", "batch_conjunctive", "prefix_suggest",
+    "eval_metrics", "events_tumbling", "rollup_pricing",
+    "revenue_by_nation", "salted_postings", "asof_status",
+    "range_bucket_join", "shipping_priority", "eval_prk", "s2_bm25f",
+    "s2_ingest", "s2_graph_edges", "s2_author_ids", "s2_string_prep",
+    "s2_bm25", "bm25_served", "wand_served", "bm25_full", "code_bm25",
+    "snapshot_term_df", "phrase_served", "routed_bm25", "stream_dedup",
+    "stream_term_df", "compacted_term_df", "compacted_bm25",
+    "stream_events_tumbling",
+    # new in round 6
+    "termdict_bm25",
+    "ivf_trained_topk",
+    "training_mix",
+    "batch_eval_summary",
 ]
 
 

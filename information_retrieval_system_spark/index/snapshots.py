@@ -204,6 +204,18 @@ def expire_snapshots(root: str, keep_last: int = 2) -> list[int]:
                 e["expired_parent"] = e["parent"]
                 e["parent"] = nearest_retained(e["parent"])
             kept_log.append(e)
+        # merge_into_snapshot's delta watermark is max(merge_watermark)
+        # over log ENTRIES; if the only entries carrying it are being
+        # expired (e.g. compaction commits landed after the last merge),
+        # the rewritten log would reset it to -1 and the next merge
+        # would re-consume every already-merged delta batch.  Carry the
+        # expired maximum onto the oldest retained entry.
+        expired_wm = max((e.get("merge_watermark", -1) for e in expired),
+                         default=-1)
+        kept_wm = max((e.get("merge_watermark", -1) for e in kept_log),
+                      default=-1)
+        if expired_wm > kept_wm:
+            kept_log[0]["merge_watermark"] = expired_wm
         tmp = _log_path(root) + ".tmp.expire"
         with open(tmp, "w") as f:
             json.dump(kept_log, f, indent=2)

@@ -103,8 +103,11 @@ def compact_delta_index(spark: SparkSession, delta_dir: str, out_dir: str,
     snapshot log instead of a bare directory."""
     from ..index.builder import read_index, write_index
 
-    tables = _compacted_tables(spark, delta_dir)
-    write_index(tables, out_dir, cfg)
+    tables, cached = _compacted_tables(spark, delta_dir)
+    try:
+        write_index(tables, out_dir, cfg)
+    finally:
+        cached.unpersist()
     return read_index(spark, out_dir)
 
 
@@ -117,9 +120,12 @@ def compact_to_snapshot(spark: SparkSession, delta_dir: str, snapshot_root: str,
     a reader may hold.  Returns the snapshot id."""
     from ..index.snapshots import commit_snapshot
 
-    tables = _compacted_tables(spark, delta_dir)
-    return commit_snapshot(tables, snapshot_root, cfg,
-                           operation="compaction", note=note)
+    tables, cached = _compacted_tables(spark, delta_dir)
+    try:
+        return commit_snapshot(tables, snapshot_root, cfg,
+                               operation="compaction", note=note)
+    finally:
+        cached.unpersist()
 
 
 def _tables_from_view(postings: DataFrame, docs: DataFrame):
@@ -133,7 +139,12 @@ def _tables_from_view(postings: DataFrame, docs: DataFrame):
     fan-out: four downstream passes consume it (terms agg, stats count,
     norm derivation, the layout write) and would otherwise each re-read
     the snapshot parquet plus every delta file.  Same precedent as
-    assign_doc_ints; in production this stage is a written table."""
+    assign_doc_ints; in production this stage is a written table.
+
+    Returns ``(tables, persisted_postings)`` — the CALLER must
+    ``persisted_postings.unpersist()`` after consuming the tables
+    (write/commit), or repeated maintenance cycles in a long-lived
+    session leak one disk-cached dataset per call."""
     import math
 
     from pyspark import StorageLevel
@@ -166,7 +177,7 @@ def _tables_from_view(postings: DataFrame, docs: DataFrame):
         .withColumn("norm", F.coalesce(F.col("norm"), F.lit(0.0)))
         .withColumn("pagerank", F.lit(0.0))
     )
-    return IndexTables(postings=p, docs=docs_full, terms=terms, stats=stats)
+    return IndexTables(postings=p, docs=docs_full, terms=terms, stats=stats), postings
 
 
 def _compacted_tables(spark: SparkSession, delta_dir: str):
@@ -221,11 +232,20 @@ def merge_into_snapshot(
     wm = max((e.get("merge_watermark", -1) for e in log), default=-1)
     p_dir = os.path.join(delta_dir, "postings_delta")
     d_dir = os.path.join(delta_dir, "docs_delta")
-    if not os.path.isdir(p_dir):  # stream drained zero batches: no-op
+    if not os.path.isdir(d_dir):  # stream drained zero batches: no-op
         return log[-1]["id"]
-    dp = spark.read.parquet(p_dir).filter(F.col("batch_id") > wm)
+    if os.path.isdir(p_dir):
+        dp = spark.read.parquet(p_dir).filter(F.col("batch_id") > wm)
+    else:  # every batch so far tokenized to zero terms: docs only
+        dp = spark.createDataFrame(
+            [], "term string, doc_id long, tf int, batch_id long")
     dd = spark.read.parquet(d_dir).filter(F.col("batch_id") > wm)
-    new_wm = dp.agg(F.max("batch_id").alias("m")).collect()[0]["m"]
+    # Watermark advances on DOCS, not postings: every processed batch
+    # writes docs_delta rows, but a batch whose docs all tokenize to
+    # zero terms writes NO postings rows — deriving the watermark from
+    # dp would leave such a batch above the recorded mark and re-merge
+    # its doc rows next call (double-counted n_docs/avgdl/norms).
+    new_wm = dd.agg(F.max("batch_id").alias("m")).collect()[0]["m"]
     if new_wm is None:  # nothing new past the watermark: no-op
         return log[-1]["id"]
     cur = read_snapshot(spark, snapshot_root)
@@ -233,10 +253,13 @@ def merge_into_snapshot(
     postings = cols(cur.postings).unionByName(cols(dp))
     docs = cur.docs.select("doc_id", "length").unionByName(
         dd.select("doc_id", "length"))
-    tables = _tables_from_view(postings, docs)
-    return commit_snapshot(tables, snapshot_root, cfg,
-                           operation="merge-append", note=note,
-                           extra={"merge_watermark": int(new_wm)})
+    tables, cached = _tables_from_view(postings, docs)
+    try:
+        return commit_snapshot(tables, snapshot_root, cfg,
+                               operation="merge-append", note=note,
+                               extra={"merge_watermark": int(new_wm)})
+    finally:
+        cached.unpersist()
 
 
 def merged_index_view(spark: SparkSession, out_dir: str):

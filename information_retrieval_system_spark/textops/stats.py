@@ -156,10 +156,11 @@ def quality_stratified_sample(
     shuffle, survives any corpus size.
     """
     band = F.round(F.col(score_col) * 4).cast("int")
-    rate = None
+    # Fold init is DROP (rate 0): a band missing from ``rates`` — or a
+    # NULL score — keeps nothing, matching the oracle's CASE ... ELSE 0.
+    rate = F.lit(0)
     for b, r in sorted(rates.items()):
         thr = F.lit(int(round(r * 1_000_000)))
-        rate = thr if rate is None else rate
         rate = F.when(band == b, thr).otherwise(rate)
     u = h60(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))) % F.lit(1_000_000)
     return scored.filter(u < rate)

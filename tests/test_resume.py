@@ -300,3 +300,111 @@ def test_merge_watermark_no_double_count(spark, tmp_path):
         assert merged.stats[k] == full.stats[k], k
     assert sorted((r.term, r.df, r.cf) for r in merged.terms.collect()) == \
         sorted((r.term, r.df, r.cf) for r in full.terms.collect())
+
+
+def test_merge_watermark_advances_on_zero_term_batch(spark, tmp_path):
+    """A micro-batch whose docs ALL tokenize to zero terms writes
+    docs_delta rows but no postings rows; the merge watermark must
+    still advance past it (it derives from docs_delta), or the next
+    merge re-consumes those doc rows — duplicate docs, inflated
+    n_docs/avgdl (round-5 ADVICE regression)."""
+    from information_retrieval_system_spark.config import EngineConfig
+    from information_retrieval_system_spark.index.builder import build_index
+    from information_retrieval_system_spark.index.snapshots import (
+        commit_snapshot, read_snapshot, snapshot_log)
+    from information_retrieval_system_spark.streaming.incremental import (
+        incremental_index_stream, merge_into_snapshot)
+
+    cfg = EngineConfig(use_stopwords=False, use_stemmer=False)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    root = str(tmp_path / "snaps")
+    commit_snapshot(
+        build_index(docs.filter("doc_id < 100"), cfg, doc_col="doc_id",
+                    text_col="text", with_positions=False),
+        root, cfg, operation="initial-build")
+    in_dir = str(tmp_path / "in")
+
+    def stream_wave(df):
+        df.repartition(1).write.mode("append").parquet(in_dir)
+        q = incremental_index_stream(spark, in_dir, str(tmp_path / "ckpt"),
+                                     str(tmp_path / "delta"), cfg)
+        try:
+            assert q.awaitTermination(120)
+        finally:
+            q.stop()
+
+    # wave 1: docs that tokenize to NOTHING (punctuation only)
+    zero_term = spark.createDataFrame(
+        [(10_000 + i, "!!! ??? ...") for i in range(5)], "doc_id long, text string")
+    stream_wave(zero_term)
+    v2 = merge_into_snapshot(spark, root, str(tmp_path / "delta"), cfg)
+    assert snapshot_log(root)[-1]["merge_watermark"] >= 0
+    n_after_zero = read_snapshot(spark, root).stats["n_docs"]
+    assert n_after_zero == 105  # the 5 zero-term docs count exactly once
+
+    # re-merge with nothing new: no-op — the zero-term batch must NOT
+    # be re-consumed (this is the bug: postings-derived watermark never
+    # advanced past it)
+    assert merge_into_snapshot(spark, root, str(tmp_path / "delta"), cfg) == v2
+    assert read_snapshot(spark, root).stats["n_docs"] == 105
+
+    # wave 2: real docs — merge consumes ONLY the new batches
+    stream_wave(docs.filter("doc_id >= 100 AND doc_id < 150")
+                .select("doc_id", "text"))
+    merge_into_snapshot(spark, root, str(tmp_path / "delta"), cfg)
+    merged = read_snapshot(spark, root)
+    assert merged.stats["n_docs"] == 155
+    full = build_index(docs.filter("doc_id < 150"), cfg, doc_col="doc_id",
+                       text_col="text", with_positions=False)
+    assert sorted((r.term, r.df, r.cf) for r in merged.terms.collect()) == \
+        sorted((r.term, r.df, r.cf) for r in full.terms.collect())
+
+
+def test_expire_preserves_merge_watermark(spark, tmp_path):
+    """expire_snapshots must carry max(merge_watermark) from expired
+    log entries onto the retained tail: if compaction/re-crawl commits
+    land after the last merge and expiry drops the merge entry, a
+    watermark reset to -1 would re-consume every already-merged delta
+    batch (round-5 ADVICE regression)."""
+    from information_retrieval_system_spark.config import EngineConfig
+    from information_retrieval_system_spark.index.builder import build_index
+    from information_retrieval_system_spark.index.snapshots import (
+        commit_snapshot, expire_snapshots, read_snapshot, snapshot_log)
+    from information_retrieval_system_spark.streaming.incremental import (
+        incremental_index_stream, merge_into_snapshot)
+
+    cfg = EngineConfig(use_stopwords=False, use_stemmer=False)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    root = str(tmp_path / "snaps")
+    commit_snapshot(
+        build_index(docs.filter("doc_id < 150"), cfg, doc_col="doc_id",
+                    text_col="text", with_positions=False),
+        root, cfg, operation="initial-build")
+    in_dir = str(tmp_path / "in")
+    docs.filter("doc_id >= 150 AND doc_id < 300").select("doc_id", "text") \
+        .repartition(2).write.mode("append").parquet(in_dir)
+    q = incremental_index_stream(spark, in_dir, str(tmp_path / "ckpt"),
+                                 str(tmp_path / "delta"), cfg)
+    try:
+        assert q.awaitTermination(120)
+    finally:
+        q.stop()
+    merge_into_snapshot(spark, root, str(tmp_path / "delta"), cfg)
+    wm = snapshot_log(root)[-1]["merge_watermark"]
+    n_docs = read_snapshot(spark, root).stats["n_docs"]
+
+    # two non-merge commits after the merge, then expire past the merge
+    cur = read_snapshot(spark, root)
+    for i in range(2):
+        commit_snapshot(cur, root, cfg, operation="re-crawl", note=f"rc{i}")
+    expired = expire_snapshots(root, keep_last=2)
+    assert len(expired) == 2  # initial-build + merge-append are gone
+    log = snapshot_log(root)
+    assert all(e["operation"] == "re-crawl" for e in log)
+    # the watermark survived the rewrite...
+    assert max(e.get("merge_watermark", -1) for e in log) == wm
+    # ...so a re-merge against the same (fully-consumed) delta dir is a
+    # no-op instead of double-counting every batch
+    before = log[-1]["id"]
+    assert merge_into_snapshot(spark, root, str(tmp_path / "delta"), cfg) == before
+    assert read_snapshot(spark, root).stats["n_docs"] == n_docs
