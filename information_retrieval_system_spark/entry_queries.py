@@ -164,7 +164,12 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("score", 4).alias("score"))
 
 
-SQL_BM25_TOPK = f"""
+def _sql_bm25_topk(terms_sql: str) -> str:
+    """BM25 top-{TOPK} oracle parameterized by the query-term list —
+    shared by the string-keyed (``bm25_topk``) and the dictionary
+    id-keyed (``termdict_bm25``) gates: both engine paths must be
+    score-identical to the SAME SQL."""
+    return f"""
 WITH {TOKS_CTE},
 post AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
 dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM post GROUP BY 1),
@@ -172,7 +177,7 @@ dl AS (SELECT d.doc_id, CAST(coalesce(t.dl, 0) AS DOUBLE) AS dl
        FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1) t USING (doc_id)),
 stats AS (SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n,
                  CAST((SELECT count(*) FROM toks) // (SELECT count(*) FROM documents) AS DOUBLE) AS avgdl),
-q AS (SELECT unnest({_sql_terms_list()}) AS term),
+q AS (SELECT unnest({terms_sql}) AS term),
 scored AS (
   SELECT p.doc_id,
          (ln((s.n - f.df + 0.5) / (f.df + 0.5)) / ln(2))
@@ -189,6 +194,31 @@ FROM scored GROUP BY doc_id
 ORDER BY sum(ts) DESC, doc_id ASC
 LIMIT {TOPK}
 """
+
+
+SQL_BM25_TOPK = _sql_bm25_topk(_sql_terms_list())
+
+#: query-term set for the id-keyed gate — distinct from QUERY_TERMS so
+#: the two BM25 gates exercise different posting lists.
+TERMDICT_QUERY_TERMS = ("filter", "scan", "vector")
+
+
+def q_termdict_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 through the dense term_id dictionary (scoring.
+    bm25_search_id_keyed): query strings resolve to int64 ids via ONE
+    broadcast of (term, term_id); postings join on the id and their
+    string column is pruned at the scan.  Same oracle SQL shape as
+    bm25_topk — the id encoding must be score-invisible."""
+    ix = get_index(spark, sf_dir)
+    rows = [(t, 1.0) for t in TERMDICT_QUERY_TERMS]
+    qt = spark.createDataFrame(rows, "term string, qtf double")
+    res = scoring.bm25_search_id_keyed(ix, qt, k=TOPK, cfg=NOSTEM_CFG)
+    return res.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      F.round("score", 4).alias("score"))
+
+
+SQL_TERMDICT_BM25 = _sql_bm25_topk(
+    "[" + ", ".join(f"'{t}'" for t in TERMDICT_QUERY_TERMS) + "]")
 
 
 def q_vsm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -462,6 +492,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_lengths": q_doc_lengths,
     "tf_matrix": q_tf_matrix,
     "bm25_topk": q_bm25_topk,
+    "termdict_bm25": q_termdict_bm25,
     "vsm_topk": q_vsm_topk,
     "existential": q_existential,
     "conjunctive": q_conjunctive,
@@ -487,6 +518,7 @@ _ALL_ORACLES: dict[str, str] = {
     "doc_lengths": SQL_DOC_LENGTHS,
     "tf_matrix": SQL_TF_MATRIX,
     "bm25_topk": SQL_BM25_TOPK,
+    "termdict_bm25": SQL_TERMDICT_BM25,
     "vsm_topk": SQL_VSM_TOPK,
     "existential": SQL_EXISTENTIAL,
     "conjunctive": SQL_CONJUNCTIVE,

@@ -44,37 +44,50 @@ class IndexTables:
     docs; meta.idx -> stats.
     """
 
-    postings: DataFrame  # term, doc_id, doc_int, tf, positions
+    postings: DataFrame  # term_id, term, doc_id, doc_int, tf, positions
     docs: DataFrame      # doc_id, doc_int, length, norm, pagerank
     terms: DataFrame     # term, df, cf
     stats: dict          # n_docs, avgdl (floored long), n_postings, total_len
+    # (term, term_id): dense int64 dictionary in sorted term order —
+    # vocabulary.idx's implicit positional rank as a broadcastable
+    # column.  None for index views built outside build_index (e.g.
+    # streaming delta unions); string-keyed paths never need it.
+    term_dict: DataFrame | None = None
 
 
-def assign_doc_ints(corpus: DataFrame, doc_col: str, num_ranges: int | None = None) -> DataFrame:
-    """Deterministic dense int ids (mirrors the ingestion counter,
-    Indexer.java:630-632, made order-independent by ranking on the doc key).
+def assign_dense_ids(
+    df: DataFrame, key_col: str, out_col: str, num_ranges: int | None = None
+) -> DataFrame:
+    """Deterministic dense int64 ids for the UNIQUE values of ``key_col``
+    — rank in global key order, starting at 1.
 
     Scale-safe two-phase scheme — a naive ``row_number() over (order by
-    key)`` funnels the whole corpus through ONE partition
+    key)`` funnels the whole input through ONE partition
     (Exchange SinglePartition); instead:
 
-    1. range-partition by the doc key (parallel sort, P partitions);
+    1. range-partition by the key (parallel sort, P partitions);
     2. rank within each range partition (parallel window per partition);
     3. add per-partition offsets from a tiny counts job.
 
     Deterministic regardless of sampled range boundaries: concatenating
     range partitions in partition order yields the global key order, so
     ``offset[pid] + local_rank`` IS the global rank of the (unique) key.
+
+    Used for doc ids (``assign_doc_ints`` — the ingestion counter,
+    Indexer.java:630-632, made order-independent) and for the term
+    dictionary (``term_id`` — the positional rank the reference's sorted
+    vocabulary.idx implies, Index.java:215-241, materialized as a
+    column so the postings shuffle can carry ints instead of strings).
     """
-    spark = corpus.sparkSession
+    spark = df.sparkSession
     if num_ranges is None:
         num_ranges = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    ranged = corpus.repartitionByRange(num_ranges, F.col(doc_col)).withColumn(
+    ranged = df.repartitionByRange(num_ranges, F.col(key_col)).withColumn(
         "_pid", F.spark_partition_id()
     )
     # per-partition ranking: the window shuffles by _pid, which preserves
     # the range grouping; orderBy(key) inside re-establishes order.
-    w = Window.partitionBy("_pid").orderBy(F.col(doc_col))
+    w = Window.partitionBy("_pid").orderBy(F.col(key_col))
     # persisted (disk, not exec memory): the pid assignment must be
     # IDENTICAL between the counts job and downstream consumers (range
     # boundaries are sampled per execution), and the corpus-sized rows
@@ -87,6 +100,8 @@ def assign_doc_ints(corpus: DataFrame, doc_col: str, num_ranges: int | None = No
         r["_pid"]: r["c"]
         for r in local.groupBy("_pid").agg(F.count("*").alias("c")).collect()
     }
+    if not counts:  # empty input: zero-arg create_map won't analyze
+        return local.withColumn(out_col, F.lit(None).cast("long")).drop("_pid", "_rn")
     offsets, acc = {}, 0
     for pid in sorted(counts):
         offsets[pid] = acc
@@ -95,8 +110,13 @@ def assign_doc_ints(corpus: DataFrame, doc_col: str, num_ranges: int | None = No
         *[F.lit(x) for kv in offsets.items() for x in kv]
     )
     return local.withColumn(
-        "doc_int", (off_map[F.col("_pid")] + F.col("_rn")).cast("long")
+        out_col, (off_map[F.col("_pid")] + F.col("_rn")).cast("long")
     ).drop("_pid", "_rn")
+
+
+def assign_doc_ints(corpus: DataFrame, doc_col: str, num_ranges: int | None = None) -> DataFrame:
+    """Dense ``doc_int`` for string doc keys — see ``assign_dense_ids``."""
+    return assign_dense_ids(corpus, doc_col, "doc_int", num_ranges)
 
 
 def build_index(
@@ -154,46 +174,67 @@ def build_index(
     if cfg.use_stopwords:
         tokens = tokens.filter(stopword_filter_condition(F.col("token")))
 
-    # A1 level 1: tf per (token, doc) — Catalyst partial+final hash agg
-    # (the map-side combine IS the salted pre-aggregation for the tf
-    # metric: the reduce key (token, doc) never concentrates on one
-    # reducer because doc spreads hot tokens across partitions).
+    # --- term dictionary (dense int64 term_id) ------------------------
+    # The corpus-sized postings shuffle is the build's dominant data
+    # movement, and its key used to be the term STRING.  Build the
+    # dictionary FIRST from the distinct token set (map-side partial
+    # distinct means this shuffle carries per-partition vocabularies,
+    # not the token stream), stem it ONCE, rank the distinct TERM set in
+    # sorted order (the positional rank the reference's sorted
+    # vocabulary.idx implies, Index.java:215-241) with the same
+    # two-phase parallel scheme as doc_int, and broadcast
+    # token -> term_id back into the token stream.  Two wins:
+    #  - the big shuffle keys on (term_id int64, doc int64) — fixed
+    #    8-byte keys instead of variable-length strings (the
+    #    DRAM-bandwidth lever the 16-thread triad probe points at);
+    #  - the stem-variant collapse folds into the SAME aggregation
+    #    (variants of one doc share a term_id), so the stemmed build
+    #    does ONE corpus shuffle where it previously did two, and the
+    #    corpus-sized tok_doc disk staging disappears.
+    vocab_tokens = tokens.select("token").distinct()
+    if cfg.use_stemmer:
+        vocab = vocab_tokens.withColumn("term", porter_stem_udf("token"))
+    else:
+        vocab = vocab_tokens.withColumn("term", F.col("token"))
+    # (term, term_id): dense rank 1..V in sorted term order.  Cached —
+    # build joins it twice, every id-keyed query broadcast-joins it.
+    term_dict = assign_dense_ids(
+        vocab.select("term").distinct(), "term", "term_id"
+    ).cache()
+    tok2id = vocab.join(F.broadcast(term_dict), "term").select("token", "term_id")
+
+    # A1 (both levels in one agg): tf per (term_id, doc) — Catalyst
+    # partial+final hash agg (the map-side combine IS the salted
+    # pre-aggregation for the tf metric: the reduce key (term_id, doc)
+    # never concentrates on one reducer because doc spreads hot terms
+    # across partitions).  At extreme vocabularies the broadcast hint
+    # stops fitting and the join degrades to a shuffle join — AQE picks
+    # that automatically if the hint is removed; per-partition vocab of
+    # a code corpus is far below the token stream either way.
     agg1 = [F.count("*").cast("int").alias("tf")]
     if with_positions:
         agg1.append(F.sort_array(F.collect_list("pos")).alias("positions"))
-    tok_doc = tokens.groupBy("token", "doc_id", "doc_int").agg(*agg1)
-
-    if cfg.use_stemmer:
-        # staged to DISK (not exec memory): read twice (distinct + join);
-        # deserialized memory caching of this corpus-sized intermediate
-        # measurably degrades >1M docs (eviction churn), while disk
-        # staging holds throughput flat — and mirrors the production
-        # design where each stage is a written Iceberg table.
-        from pyspark import StorageLevel
-
-        tok_doc = tok_doc.persist(StorageLevel.DISK_ONLY)
-        # stem the DISTINCT token set of the aggregate (orders of
-        # magnitude smaller than the token stream) and broadcast it back
-        stems = tok_doc.select("token").distinct().withColumn(
-            "term", porter_stem_udf("token")
-        )
-        merged = tok_doc.join(F.broadcast(stems), "token", "inner")
-        # A1 level 2: stem variants of one doc collapse into one posting
-        agg2 = [F.sum("tf").cast("int").alias("tf")]
-        if with_positions:
-            agg2.append(
-                F.sort_array(F.flatten(F.collect_list("positions"))).alias("positions")
-            )
-        postings = merged.groupBy("term", "doc_id", "doc_int").agg(*agg2)
-    else:
-        postings = tok_doc.withColumnRenamed("token", "term")
+    postings = (
+        tokens.join(F.broadcast(tok2id), "token", "inner")
+        .groupBy("term_id", "doc_id", "doc_int")
+        .agg(*agg1)
+        # re-attach the string post-agg: BroadcastHashJoin in the same
+        # stage — zero extra shuffle, keeps every string-keyed consumer
+        # (scoring joins, WAND, compression bucketing) source-compatible
+        .join(F.broadcast(term_dict), "term_id")
+    )
     postings = postings.cache()
 
     # A3: df/cf per term (partial+final agg replaces merge-time df1+df2,
-    # Indexer.java:842).  Cached: every query broadcast-joins this table.
-    terms = postings.groupBy("term").agg(
+    # Indexer.java:842) — keyed by term_id (int agg), string attached
+    # from the broadcast dictionary.  Cached: every query
+    # broadcast-joins this table.
+    tstats = postings.groupBy("term_id").agg(
         F.count("*").cast("long").alias("df"),
         F.sum("tf").cast("long").alias("cf"),
+    ).cache()
+    terms = tstats.join(F.broadcast(term_dict), "term_id").select(
+        "term", "df", "cf"
     ).cache()
 
     # A4: N + floored avgDL (integer division, Indexer.java:688-691).
@@ -208,7 +249,7 @@ def build_index(
     n_docs, total_len = int(r["n_docs"]), int(r["total_len"] or 0)
     # Σdf == posting rows (merge-time df1+df2 of Indexer.java:842 is one
     # partial+final agg); reads the already-staged arrays
-    n_postings = int(terms.agg(F.sum("df")).collect()[0][0] or 0)
+    n_postings = int(tstats.agg(F.sum("df")).collect()[0][0] or 0)
     avgdl = total_len // n_docs if n_docs else 0
 
     # A5: VSM norms — second pass over postings, idf uses the reference's
@@ -216,7 +257,7 @@ def build_index(
     # exactly like documents.idx offset+48 (Index.java:385).
     log2 = math.log(2.0)
     norm_df = (
-        postings.join(F.broadcast(terms.select("term", "df")), "term")
+        postings.join(F.broadcast(tstats.select("term_id", "df")), "term_id")
         .withColumn(
             "w", F.col("tf") * F.log(F.floor(F.lit(n_docs + 1) / F.col("df")).cast("double")) / F.lit(log2)
         )
@@ -244,7 +285,8 @@ def build_index(
         # skip the final doc_int -> doc_id mapping join entirely
         "int_doc_ids": doc_type in ("tinyint", "smallint", "int", "bigint"),
     }
-    return IndexTables(postings=postings, docs=docs, terms=terms, stats=stats)
+    return IndexTables(postings=postings, docs=docs, terms=terms, stats=stats,
+                       term_dict=term_dict)
 
 
 def field_term_stats(
@@ -292,7 +334,10 @@ def write_index(
     - ``postings/`` partitioned by ``bucket`` = hash(term) % term_buckets,
       sorted within partitions by (term, doc_int) — the columnar
       equivalent of the reference's vocabulary-ordered postings file.
-    - ``docs/``, ``terms/``, ``stats.json``.
+      Carries ``term_id`` when the build assigned a dictionary (parquet
+      dictionary-encodes the redundant string column to near-nothing on
+      disk; the id column is what id-keyed serving joins on).
+    - ``docs/``, ``terms/``, ``term_dict/`` (when present), ``stats.json``.
     """
     os.makedirs(out_dir, exist_ok=True)
     (
@@ -305,6 +350,9 @@ def write_index(
     )
     tables.docs.write.mode("overwrite").parquet(os.path.join(out_dir, "docs"))
     tables.terms.write.mode("overwrite").parquet(os.path.join(out_dir, "terms"))
+    if tables.term_dict is not None:
+        tables.term_dict.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "term_dict"))
     with open(os.path.join(out_dir, "stats.json"), "w") as f:
         json.dump(tables.stats, f, indent=2)
 
@@ -315,4 +363,7 @@ def read_index(spark: SparkSession, out_dir: str) -> IndexTables:
     terms = spark.read.parquet(os.path.join(out_dir, "terms"))
     with open(os.path.join(out_dir, "stats.json")) as f:
         stats = json.load(f)
-    return IndexTables(postings=postings, docs=docs, terms=terms, stats=stats)
+    td_dir = os.path.join(out_dir, "term_dict")
+    term_dict = spark.read.parquet(td_dir) if os.path.isdir(td_dir) else None
+    return IndexTables(postings=postings, docs=docs, terms=terms, stats=stats,
+                       term_dict=term_dict)

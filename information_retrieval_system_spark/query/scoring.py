@@ -98,6 +98,51 @@ def bm25_search(
     )
 
 
+def bm25_search_id_keyed(
+    index: IndexTables,
+    query_terms: DataFrame,
+    k: int = 10,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """BM25 top-k over the dense ``term_id`` dictionary — rank- and
+    score-identical to ``bm25_search``, but every corpus-sized join keys
+    on the 8-byte int64 id and the postings' string column is never
+    read (column pruning drops it at the scan).
+
+    The query side resolves term strings through ONE broadcast of the
+    (term, term_id) dictionary — the DataFrame form of the reference's
+    vocabulary.idx lookup before seeking into postings.idx
+    (Index.java:215-241): the dictionary IS the vocabulary, exploited
+    as a join instead of a per-term binary search.  At 100 TB the
+    postings side shuffles/scans fixed-width ids instead of
+    variable-length strings; the dictionary and term-stats joins stay
+    broadcast (vocabulary-sized)."""
+    if index.term_dict is None:
+        raise ValueError("index carries no term dictionary (term_dict=None)")
+    n, avgdl = index.stats["n_docs"], index.stats["avgdl"]
+    qt = (
+        query_terms.join(F.broadcast(index.term_dict), "term")
+        .join(F.broadcast(index.terms), "term")
+        .select("term_id", "df")
+    )
+    m = (
+        index.postings.select("term_id", "doc_id", "tf")
+        .join(F.broadcast(qt), "term_id", "inner")
+        .join(index.docs.select("doc_id", "length"), "doc_id", "inner")
+    )
+    scored = m.withColumn(
+        "tscore",
+        bm25_term_score(F.col("tf").cast("double"), F.col("df").cast("double"),
+                        F.col("length").cast("double"), n, float(avgdl), cfg.k1, cfg.b),
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("tscore").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def vsm_search(
     index: IndexTables,
     query_terms: DataFrame,
