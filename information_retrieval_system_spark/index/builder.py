@@ -175,67 +175,90 @@ def build_index(
         tokens = tokens.filter(stopword_filter_condition(F.col("token")))
 
     # --- term dictionary (dense int64 term_id) ------------------------
-    # The corpus-sized postings shuffle is the build's dominant data
-    # movement, and its key used to be the term STRING.  Build the
-    # dictionary FIRST from the distinct token set (map-side partial
-    # distinct means this shuffle carries per-partition vocabularies,
-    # not the token stream), stem it ONCE, rank the distinct TERM set in
-    # sorted order (the positional rank the reference's sorted
-    # vocabulary.idx implies, Index.java:215-241) with the same
-    # two-phase parallel scheme as doc_int, and broadcast
-    # token -> term_id back into the token stream.  Two wins:
-    #  - the big shuffle keys on (term_id int64, doc int64) — fixed
-    #    8-byte keys instead of variable-length strings (the
-    #    DRAM-bandwidth lever the 16-thread triad probe points at);
-    #  - the stem-variant collapse folds into the SAME aggregation
-    #    (variants of one doc share a term_id), so the stemmed build
-    #    does ONE corpus shuffle where it previously did two, and the
-    #    corpus-sized tok_doc disk staging disappears.
-    vocab_tokens = tokens.select("token").distinct()
-    if cfg.use_stemmer:
-        vocab = vocab_tokens.withColumn("term", porter_stem_udf("token"))
-    else:
-        vocab = vocab_tokens.withColumn("term", F.col("token"))
-    # (term, term_id): dense rank 1..V in sorted term order.  Cached —
-    # build joins it twice, every id-keyed query broadcast-joins it.
-    term_dict = assign_dense_ids(
-        vocab.select("term").distinct(), "term", "term_id"
-    ).cache()
-    tok2id = vocab.join(F.broadcast(term_dict), "term").select("token", "term_id")
-
-    # A1 (both levels in one agg): tf per (term_id, doc) — Catalyst
-    # partial+final hash agg (the map-side combine IS the salted
-    # pre-aggregation for the tf metric: the reduce key (term_id, doc)
-    # never concentrates on one reducer because doc spreads hot terms
-    # across partitions).  At extreme vocabularies the broadcast hint
-    # stops fitting and the join degrades to a shuffle join — AQE picks
-    # that automatically if the hint is removed; per-partition vocab of
-    # a code corpus is far below the token stream either way.
+    # Every build assigns a dense dictionary — rank 1..V over the sorted
+    # distinct TERM set (the positional rank the reference's sorted
+    # vocabulary.idx implies, Index.java:215-241), via the same
+    # two-phase parallel ranking as doc_int — but WHERE it is built
+    # depends on whether it pays for itself (A/B-measured, BENCH.md r6):
+    #
+    # - STEMMED build: dictionary FIRST, from the distinct token set
+    #   (map-side partial distinct shuffles per-partition vocabularies,
+    #   not the token stream), stemmed ONCE, then token -> term_id
+    #   broadcast into the stream.  The corpus-sized aggregation then
+    #   keys on (term_id int64, doc int64) — fixed 8-byte keys instead
+    #   of strings — AND the stem-variant collapse folds into the SAME
+    #   aggregation (variants share a term_id), so the stemmed build
+    #   does ONE corpus shuffle where it previously did two, and the
+    #   corpus-sized tok_doc disk staging disappears entirely.  The
+    #   extra distinct pass is paid for by the eliminated shuffle.
+    #
+    # - NO-STEM build: there is no second shuffle to eliminate, and the
+    #   interleaved A/B at 600k docs measured every pre-/post-shuffle
+    #   id-attachment variant as a 15-45% build slowdown (an extra
+    #   token-stream pass, or an extra broadcast-probe pass over the
+    #   31M-row postings cache per consumer).  So the single
+    #   string-keyed aggregation stays EXACTLY as before; the
+    #   dictionary derives from the vocabulary-sized ``terms`` table
+    #   (near-free), and term_id attaches lazily — inside write_index's
+    #   write plan and inside id-keyed serving — where the broadcast
+    #   probe rides an existing pass instead of adding one.
+    #
+    # Either way: the dictionary is broadcastable, the WRITTEN layout
+    # carries term_id, id-keyed serving works identically.
     agg1 = [F.count("*").cast("int").alias("tf")]
     if with_positions:
         agg1.append(F.sort_array(F.collect_list("pos")).alias("positions"))
-    postings = (
-        tokens.join(F.broadcast(tok2id), "token", "inner")
-        .groupBy("term_id", "doc_id", "doc_int")
-        .agg(*agg1)
-        # re-attach the string post-agg: BroadcastHashJoin in the same
-        # stage — zero extra shuffle, keeps every string-keyed consumer
-        # (scoring joins, WAND, compression bucketing) source-compatible
-        .join(F.broadcast(term_dict), "term_id")
-    )
-    postings = postings.cache()
 
-    # A3: df/cf per term (partial+final agg replaces merge-time df1+df2,
-    # Indexer.java:842) — keyed by term_id (int agg), string attached
-    # from the broadcast dictionary.  Cached: every query
-    # broadcast-joins this table.
-    tstats = postings.groupBy("term_id").agg(
-        F.count("*").cast("long").alias("df"),
-        F.sum("tf").cast("long").alias("cf"),
-    ).cache()
-    terms = tstats.join(F.broadcast(term_dict), "term_id").select(
-        "term", "df", "cf"
-    ).cache()
+    if cfg.use_stemmer:
+        vocab = tokens.select("token").distinct().withColumn(
+            "term", porter_stem_udf("token")
+        )
+        # cached: build joins it twice, id-keyed queries broadcast it
+        term_dict = assign_dense_ids(
+            vocab.select("term").distinct(), "term", "term_id"
+        ).cache()
+        tok2id = vocab.join(F.broadcast(term_dict), "term").select("token", "term_id")
+        # A1 (both levels in one agg): tf per (term_id, doc) — Catalyst
+        # partial+final hash agg (the map-side combine IS the salted
+        # pre-aggregation for the tf metric: the reduce key never
+        # concentrates on one reducer because doc spreads hot terms
+        # across partitions).  At extreme vocabularies the broadcast
+        # hint stops fitting; dropping it lets AQE pick a shuffle join.
+        postings = (
+            tokens.join(F.broadcast(tok2id), "token", "inner")
+            .groupBy("term_id", "doc_id", "doc_int")
+            .agg(*agg1)
+            # re-attach the string post-agg: BroadcastHashJoin in the
+            # same stage — zero extra shuffle, keeps every string-keyed
+            # consumer (scoring, WAND, compression) source-compatible
+            .join(F.broadcast(term_dict), "term_id")
+        ).cache()
+        # A3: df/cf per term — keyed by term_id (fixed-width int agg),
+        # string attached from the broadcast dictionary.  Cached: every
+        # query broadcast-joins terms.
+        tstats = postings.groupBy("term_id").agg(
+            F.count("*").cast("long").alias("df"),
+            F.sum("tf").cast("long").alias("cf"),
+        ).cache()
+        terms = tstats.join(F.broadcast(term_dict), "term_id").select(
+            "term", "df", "cf"
+        ).cache()
+        norm_key, norm_stats = "term_id", tstats.select("term_id", "df")
+    else:
+        postings = (
+            tokens.groupBy("token", "doc_id", "doc_int").agg(*agg1)
+            .withColumnRenamed("token", "term")
+        ).cache()
+        # A3 on the string key (unchanged plan), then rank the
+        # vocabulary-sized terms table for the dictionary
+        terms = postings.groupBy("term").agg(
+            F.count("*").cast("long").alias("df"),
+            F.sum("tf").cast("long").alias("cf"),
+        ).cache()
+        term_dict = assign_dense_ids(
+            terms.select("term"), "term", "term_id"
+        ).cache()
+        norm_key, norm_stats = "term", terms.select("term", "df")
 
     # A4: N + floored avgDL (integer division, Indexer.java:688-691).
     # The doc-stats aggregate is the FIRST action: scanning it both
@@ -249,7 +272,7 @@ def build_index(
     n_docs, total_len = int(r["n_docs"]), int(r["total_len"] or 0)
     # Σdf == posting rows (merge-time df1+df2 of Indexer.java:842 is one
     # partial+final agg); reads the already-staged arrays
-    n_postings = int(tstats.agg(F.sum("df")).collect()[0][0] or 0)
+    n_postings = int(terms.agg(F.sum("df")).collect()[0][0] or 0)
     avgdl = total_len // n_docs if n_docs else 0
 
     # A5: VSM norms — second pass over postings, idf uses the reference's
@@ -257,7 +280,7 @@ def build_index(
     # exactly like documents.idx offset+48 (Index.java:385).
     log2 = math.log(2.0)
     norm_df = (
-        postings.join(F.broadcast(tstats.select("term_id", "df")), "term_id")
+        postings.join(F.broadcast(norm_stats), norm_key)
         .withColumn(
             "w", F.col("tf") * F.log(F.floor(F.lit(n_docs + 1) / F.col("df")).cast("double")) / F.lit(log2)
         )
@@ -340,8 +363,15 @@ def write_index(
     - ``docs/``, ``terms/``, ``term_dict/`` (when present), ``stats.json``.
     """
     os.makedirs(out_dir, exist_ok=True)
+    p = tables.postings
+    if tables.term_dict is not None and "term_id" not in p.columns:
+        # no-stem builds keep in-memory postings string-keyed (A/B: an
+        # eager id-attach pass costs more than it saves there); the id
+        # lands in the LAYOUT here, where the broadcast probe rides the
+        # write plan's existing repartition pass for free
+        p = p.join(F.broadcast(tables.term_dict), "term")
     (
-        tables.postings.withColumn("bucket", term_bucket_expr(F.col("term"), cfg.term_buckets))
+        p.withColumn("bucket", term_bucket_expr(F.col("term"), cfg.term_buckets))
         .repartition(cfg.term_buckets, "bucket")
         .sortWithinPartitions("term", "doc_int")
         .write.mode("overwrite")

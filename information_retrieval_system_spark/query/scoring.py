@@ -125,8 +125,13 @@ def bm25_search_id_keyed(
         .join(F.broadcast(index.terms), "term")
         .select("term_id", "df")
     )
+    p = index.postings
+    if "term_id" not in p.columns:
+        # in-memory no-stem index: postings are string-keyed; attach the
+        # id with one broadcast probe in the same stage as the join below
+        p = p.join(F.broadcast(index.term_dict), "term")
     m = (
-        index.postings.select("term_id", "doc_id", "tf")
+        p.select("term_id", "doc_id", "tf")
         .join(F.broadcast(qt), "term_id", "inner")
         .join(index.docs.select("doc_id", "length"), "doc_id", "inner")
     )
