@@ -130,6 +130,39 @@ def run_suite(parallelism: int, sf_dir: str) -> dict:
             zipf["batch_routed_speedup_sample_measured"] = br["speedup_sample_measured"]
             zipf["batch_routed_speedup635_est"] = br["speedup_635_est"]
             zipf["batch_routed_identical"] = br["loop_batch_identical"]
+            # retrieval -> AP/nDCG eval composed over the same 635
+            # routed queries (one plan: the reference's golden run)
+            zipf["batch_eval_635_sec"] = br["eval_sec"]
+            zipf["batch_eval_635_mean_ap"] = br["eval_mean_ap"]
+            zipf["batch_eval_635_mean_ndcg"] = br["eval_mean_ndcg"]
+
+        # --- composed training-mix curation funnel (quality gate ->
+        # LSH near-dedup keep -> stratified sample -> split) over the
+        # same 600k Zipf corpus: docs/sec through the WHOLE funnel
+        from information_retrieval_system_spark.sources.zipf import zipf_corpus
+        from information_retrieval_system_spark.textops import dedup, quality
+        from information_retrieval_system_spark.textops.stats import (
+            hash_split, quality_stratified_sample)
+
+        corpus = zipf_corpus(spark, zipf_docs, vocab=zipf_docs // 10).cache()
+        n_cur = corpus.count()
+        t0 = time.perf_counter()
+        scored = quality.quality_score(corpus, "text", "doc_id").select("id", "score")
+        pairs = dedup.minhash_lsh_dedup(
+            corpus, "text", "doc_id", n=3, num_hashes=8, bands=4,
+            threshold=0.5, seed=42, max_shingle_df=100, max_bucket_size=200)
+        comp = dedup.connected_components(pairs.select("id_a", "id_b"))
+        losers = comp.filter("id != component").select("id")
+        kept = scored.filter("score >= 0.5").join(losers, "id", "left_anti")
+        sampled = quality_stratified_sample(
+            kept, {0: 0.02, 1: 0.10, 2: 0.25, 3: 0.50, 4: 1.0})
+        out = hash_split(sampled, "id", {"train": 0.8, "val": 0.1, "test": 0.1})
+        survivors = out.groupBy("split").count().collect()
+        cur_sec = time.perf_counter() - t0
+        corpus.unpersist()
+        zipf["curation_docs_per_sec"] = round(n_cur / cur_sec, 1)
+        zipf["curation_sec"] = round(cur_sec, 3)
+        zipf["curation_survivors"] = int(sum(r["count"] for r in survivors))
 
     # headline value = the sf-suite wall time (comparable across rounds);
     # the zipf crossover's one-time corpus build/encode is reported in the

@@ -46,10 +46,14 @@ def q_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_eval_metrics() -> str:
+def _sql_eval_chain() -> str:
+    """Shared CTE chain ``WITH results ... j(qid, ap, ndcg)`` — the
+    route-free batch-BM25 retrieval joined with the deterministic qrels,
+    windowed into per-query AP/nDCG.  Finals: _sql_eval_metrics
+    (min/max/mean summary) and _sql_batch_eval_summary (per-query rows;
+    the engine side routes WAND/exhaustive, which is value-invisible)."""
     qid_list = ", ".join(str(q) for q in EVAL_QIDS)
     batch = SQL_BATCH_BM25.strip().rstrip()
-    # reuse the batch-BM25 oracle as a subquery, then window AP/nDCG
     return f"""
 WITH results AS (
   SELECT qid, doc_id, rank, score FROM ({batch}) WHERE qid IN ({qid_list})
@@ -95,13 +99,67 @@ j AS (
   SELECT a.qid, a.ap,
          CASE WHEN i.idcg > 0 THEN d.dcg / i.idcg ELSE 0 END AS ndcg
   FROM ap a JOIN dcg d USING (qid) JOIN idcg i USING (qid)
-)
+)"""
+
+
+def _sql_eval_metrics() -> str:
+    return f"""{_sql_eval_chain()}
 SELECT round(avg(ap), 4) AS mean_ap, round(min(ap), 4) AS min_ap,
        round(max(ap), 4) AS max_ap,
        round(avg(ndcg), 4) AS mean_ndcg, round(min(ndcg), 4) AS min_ndcg,
        round(max(ndcg), 4) AS max_ndcg
 FROM j
 """
+
+
+def _sql_batch_eval_summary() -> str:
+    return f"""{_sql_eval_chain()}
+SELECT CAST(qid AS BIGINT) AS qid, round(ap, 4) AS ap, round(ndcg, 4) AS ndcg,
+       round(avg(ap) OVER (), 4) AS mean_ap,
+       round(avg(ndcg) OVER (), 4) AS mean_ndcg
+FROM j
+"""
+
+
+#: splits the eval qid set into mixed WAND/exhaustive routes at sf0.01
+#: (same threshold as entry_graph.ROUTED_MIN_POSTINGS); both routes are
+#: exact, so the oracle stays route-free
+ROUTED_EVAL_MIN_POSTINGS = 400
+
+
+def q_batch_eval_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's B2 golden run composed end-to-end (r5 verdict
+    #5): ROUTED batch retrieval (route_batch_bm25 — one driver collect
+    routes every query, WAND subset through one cogroup, the rest
+    through one exhaustive batch join, Search_FR.java:994-1098 runs the
+    same loop one query at a time) feeding qrels-joined per-query
+    AP/nDCG in the same composed plan, with the suite mean carried
+    in-plan as a window over the whole frame."""
+    from pyspark.sql import Window
+
+    from .entry_batch import get_blocks
+    from .evaluation.metrics import per_query_eval
+    from .query.wand import route_batch_bm25
+
+    ix = EQ.get_index(spark, sf_dir)
+    blocks, dlb = get_blocks(spark, sf_dir)
+    qt = _batch_terms_df(spark).filter(F.col("qid").isin(*EVAL_QIDS))
+    res, _routes = route_batch_bm25(
+        ix, blocks, dlb, qt, k=BATCH_K, cfg=EQ.NOSTEM_CFG,
+        block_span=256, wand_min_postings=ROUTED_EVAL_MIN_POSTINGS,
+    )
+    j = per_query_eval(res.select("qid", "doc_id", "score"),
+                       _qrels(spark, sf_dir))
+    w = Window.partitionBy(F.lit(1))
+    return j.select(
+        F.col("qid").cast("long").alias("qid"),
+        F.round("ap", 4).alias("ap"),
+        F.round("ndcg", 4).alias("ndcg"),
+        # suite means from the UNROUNDED per-query values (a rounded
+        # input would shift the mean at 4dp boundaries)
+        F.round(F.avg("ap").over(w), 4).alias("mean_ap"),
+        F.round(F.avg("ndcg").over(w), 4).alias("mean_ndcg"),
+    )
 
 
 def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -481,6 +539,7 @@ FROM events e JOIN iv i ON e.value >= i.lo AND e.value < i.hi
 EVAL_QUERIES = {
     "sessionization": q_sessionization,
     "eval_metrics": q_eval_metrics,
+    "batch_eval_summary": q_batch_eval_summary,
     "events_tumbling": q_events_tumbling,
     "rollup_pricing": q_rollup_pricing,
     "revenue_by_nation": q_revenue_by_nation,
@@ -494,6 +553,7 @@ EVAL_QUERIES = {
 EVAL_ORACLES = {
     "sessionization": SQL_SESSIONIZATION,
     "eval_metrics": _sql_eval_metrics(),
+    "batch_eval_summary": _sql_batch_eval_summary(),
     "events_tumbling": SQL_EVENTS_TUMBLING,
     "rollup_pricing": SQL_ROLLUP_PRICING,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,

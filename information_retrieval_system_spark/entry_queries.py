@@ -564,6 +564,7 @@ _GRADE_FIRST = [
     "ivf_trained_topk",
     "training_mix",
     "batch_eval_summary",
+    "image_headers",
 ]
 
 

@@ -545,6 +545,88 @@ FROM scored ORDER BY c DESC, vec_id ASC LIMIT {EMB_K}
 """
 
 
+KM_K = 4       # trained-IVF cells
+KM_ITERS = 2   # FIXED Lloyd iterations (the SQL oracle replays exactly these)
+
+
+def q_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with TRAINED centroids (r5 verdict #3): distributed Lloyd
+    k-means (deterministic h60 seed pick, assign = broadcast max_by,
+    update = posexplode mean rounded to 9 dp, centroids on the driver
+    between iterations — similarity.kmeans_train), then the standard
+    probe: nearest {IVF_PROBE} trained cells, exact cosine within them.
+    The oracle unrolls the SAME two iterations in SQL."""
+    qv = _query_vec(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    cents = similarity.kmeans_train(emb, k=KM_K, iters=KM_ITERS)
+    out = similarity.ivf_trained_topk(emb, cents, qv, k=EMB_K, n_probe=IVF_PROBE)
+    return out.select(F.col("vec_id").cast("long").alias("vec_id"),
+                      F.round("cosine", 4).alias("cosine"))
+
+
+def _sql_ivf_trained_topk() -> str:
+    """Two unrolled Lloyd iterations; every piece mirrors the engine:
+    h60 hash-order seeds (cid = 1..k), cosine assignment with
+    (cos DESC, cid ASC) ties, per-component avg rounded to 9 dp,
+    empty cells keep the previous centroid (coalesce)."""
+    from .textops.hashing import h60_sql
+
+    def assign(prev: str, name: str) -> str:
+        return f"""{name} AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cid AS cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_dot_product(e.v, c.cv)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+             c.cid ASC) AS rn
+    FROM e CROSS JOIN {prev} c) WHERE rn = 1
+)"""
+
+    def update(prev: str, aname: str, name: str) -> str:
+        return f"""{name} AS (
+  SELECT p.cid, coalesce(u.cv, p.cv) AS cv
+  FROM {prev} p LEFT JOIN (
+    SELECT cell AS cid, list(m ORDER BY pos) AS cv FROM (
+      SELECT cell, pos, round(avg(val), 9) AS m FROM (
+        SELECT a.cell, generate_subscripts(e.v, 1) AS pos, unnest(e.v) AS val
+        FROM e JOIN {aname} a USING (vec_id))
+      GROUP BY cell, pos)
+    GROUP BY cell) u USING (cid)
+)"""
+
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+seeds AS (
+  SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS INT) AS cid, v AS cv
+  FROM (SELECT vec_id, v, {h60_sql('CAST(vec_id AS VARCHAR)')} AS h FROM e)
+  ORDER BY h, vec_id LIMIT {KM_K}
+),
+{assign('seeds', 'a1')},
+{update('seeds', 'a1', 'c1')},
+{assign('c1', 'a2')},
+{update('c1', 'a2', 'c2')},
+{assign('c2', 'af')},
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+probe AS (
+  SELECT cid FROM (
+    SELECT cid, row_number() OVER (ORDER BY cos DESC, cid ASC) AS rn FROM (
+      SELECT c.cid,
+             list_dot_product(c.cv, q.qv)
+               / (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+      FROM c2 c CROSS JOIN q)) WHERE rn <= {IVF_PROBE}
+),
+scored AS (
+  SELECT e.vec_id,
+         list_dot_product(e.v, q.qv)
+           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS c
+  FROM e JOIN af USING (vec_id) CROSS JOIN q
+  WHERE af.cell IN (SELECT cid FROM probe)
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, round(c, 4) AS cosine
+FROM scored ORDER BY c DESC, vec_id ASC LIMIT {EMB_K}
+"""
+
+
 EMB_NEAR_DUP_THRESHOLD = 0.3  # synthetic embeddings max within-label cosine ~0.47
 
 
@@ -795,6 +877,84 @@ FROM s GROUP BY split
 """
 
 
+QG_MIN_SCORE = 0.5  # training-mix quality gate
+
+
+def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED curation funnel (r5 verdict #4) — the flagship
+    LLM-training-data pipeline as one lazily-planned flow:
+
+      quality_score -> gate (score >= {QG_MIN_SCORE})
+        -> transitive near-dedup keep (MinHash LSH pairs -> connected
+           components -> drop non-canonical members)
+        -> quality-stratified deterministic sample (per-band rates)
+        -> deterministic hash split (train/val/test)
+
+    Output: one row per surviving doc (doc_id, score, split).  Only the
+    component step iterates (pointer-jumping, O(log n) rounds); every
+    other stage is a pure column expression / join fused into a single
+    plan — no intermediate materialization, no RNG anywhere, so the mix
+    is reproducible at any scale and any partitioning."""
+    from .textops.stats import hash_split, quality_stratified_sample
+
+    docs = _docs(spark, sf_dir)
+    scored = quality.quality_score(docs, "text", "doc_id").select("id", "score")
+    pairs = dedup.minhash_lsh_dedup(
+        docs, "text", "doc_id",
+        n=NGRAM_N, num_hashes=MH_HASHES, bands=LSH_BANDS,
+        threshold=JACCARD_THRESHOLD, seed=42,
+        max_shingle_df=NGRAM_MAX_DF, max_bucket_size=LSH_MAX_BUCKET,
+    )
+    comp = dedup.connected_components(pairs.select("id_a", "id_b"))
+    losers = comp.filter(F.col("id") != F.col("component")).select("id")
+    kept = (
+        scored.filter(F.col("score") >= QG_MIN_SCORE)
+        .join(losers, "id", "left_anti")
+    )
+    sampled = quality_stratified_sample(kept, SAMPLE_RATES)
+    out = hash_split(sampled, "id", SPLIT_WEIGHTS)
+    return out.select(F.col("id").cast("long").alias("doc_id"), "score", "split")
+
+
+def _sql_training_mix() -> str:
+    from .textops.hashing import h60_sql
+
+    space = float(1 << 60)
+    t_train = int(SPLIT_WEIGHTS["train"] * space)
+    t_val = int((SPLIT_WEIGHTS["train"] + SPLIT_WEIGHTS["val"]) * space)
+    cases = " ".join(
+        f"WHEN {b} THEN {int(round(r * 1_000_000))}"
+        for b, r in sorted(SAMPLE_RATES.items())
+    )
+    return f"""
+WITH RECURSIVE {_sql_lsh_pairs_chain()},
+und AS (SELECT id_a AS a, id_b AS b FROM lshpairs
+        UNION SELECT id_b, id_a FROM lshpairs),
+reach(id, m) AS (
+  SELECT a, a FROM und
+  UNION
+  SELECT u.a, r.m FROM und u JOIN reach r ON r.id = u.b
+),
+comp AS (SELECT id, min(m) AS component FROM reach GROUP BY id),
+q AS ({_sql_quality_score()}),
+qualified AS (
+  SELECT id, score FROM q
+  WHERE score >= {QG_MIN_SCORE}
+    AND id NOT IN (SELECT id FROM comp WHERE id <> component)
+),
+sampled AS (
+  SELECT id, score FROM qualified
+  WHERE ({h60_sql("'qsamp:' || CAST(id AS VARCHAR)")} % 1000000) <
+        (CASE CAST(round(score * 4) AS INT) {cases} ELSE 0 END)
+)
+SELECT CAST(id AS BIGINT) AS doc_id, score,
+       CASE WHEN {h60_sql("CAST(id AS VARCHAR)")} < {t_train} THEN 'train'
+            WHEN {h60_sql("CAST(id AS VARCHAR)")} < {t_val} THEN 'val'
+            ELSE 'test' END AS split
+FROM sampled
+"""
+
+
 # --- multimodal binary metadata (payload = utf-8 bytes of text) -----------
 
 def q_blob_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -819,6 +979,50 @@ SELECT CAST(doc_id AS BIGINT) AS id,
        CAST(octet_length(encode(text)) AS BIGINT) AS blob_size,
        sha256(text) AS sha,
        'application/octet-stream' AS media_type
+FROM documents
+"""
+
+
+def q_image_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image-dimension extraction without codec libraries (r5
+    verdict #7): deterministic PNG/JPEG payloads are synthesized from
+    doc_id (valid signature + IHDR / SOI + APP0 + SOF0 bytes), then
+    multimodal.binary_ops.parse_image_header reads width/height back
+    from the container headers alone — the metadata pass a media
+    pipeline runs before deciding what to decode.  Even ids get PNG,
+    odd ids JPEG; the oracle mirrors the dimension arithmetic."""
+    import pandas as pd
+
+    from .multimodal.binary_ops import (
+        attach_blob_metadata, image_header_dims, jpeg_bytes, png_bytes)
+
+    # NOTE: no annotations — this module has `from __future__ import
+    # annotations`, which turns hints into strings pandas_udf can't eval
+    def mk(s):
+        return s.map(lambda i: png_bytes(16 + i % 240, 16 + (i * 7) % 240)
+                     if i % 2 == 0
+                     else jpeg_bytes(16 + i % 240, 16 + (i * 7) % 240))
+
+    payload = F.pandas_udf(mk, "binary")
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        payload(F.col("doc_id")).alias("payload"))
+    typed = attach_blob_metadata(media, "payload").select("doc_id", "payload",
+                                                          "media_type")
+    dims = image_header_dims(media, id_col="doc_id", binary_col="payload")
+    return (
+        typed.join(dims, "doc_id")
+        .select("doc_id", "media_type",
+                F.col("width").cast("long").alias("width"),
+                F.col("height").cast("long").alias("height"))
+    )
+
+
+SQL_IMAGE_HEADERS = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'image/jpeg' END AS media_type,
+       CAST(16 + doc_id % 240 AS BIGINT) AS width,
+       CAST(16 + (doc_id * 7) % 240 AS BIGINT) AS height
 FROM documents
 """
 
@@ -988,6 +1192,7 @@ TEXTOPS_QUERIES = {
     "repetition_ratio": q_repetition_ratio,
     "quality_sampled": q_quality_sampled,
     "blob_metadata": q_blob_metadata,
+    "image_headers": q_image_headers,
     "frame_samples": q_frame_samples,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
@@ -1002,6 +1207,8 @@ TEXTOPS_QUERIES = {
     "lsh_topk": q_lsh_topk,
     "lsh_multiprobe_topk": q_lsh_multiprobe_topk,
     "ivf_topk": q_ivf_topk,
+    "ivf_trained_topk": q_ivf_trained_topk,
+    "training_mix": q_training_mix,
     "embedding_near_dup": q_embedding_near_dup,
     "language_id": q_language_id,
     "token_counts": q_token_counts,
@@ -1017,6 +1224,7 @@ TEXTOPS_ORACLES = {
     "repetition_ratio": SQL_REPETITION_RATIO,
     "quality_sampled": _sql_quality_sampled(),
     "blob_metadata": SQL_BLOB_METADATA,
+    "image_headers": SQL_IMAGE_HEADERS,
     "frame_samples": SQL_FRAME_SAMPLES,
     "dedup_exact": SQL_DEDUP_EXACT,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
@@ -1031,6 +1239,8 @@ TEXTOPS_ORACLES = {
     "lsh_topk": _sql_lsh_topk(),
     "lsh_multiprobe_topk": _sql_lsh_multiprobe_topk(),
     "ivf_topk": _sql_ivf_topk(),
+    "ivf_trained_topk": _sql_ivf_trained_topk(),
+    "training_mix": _sql_training_mix(),
     "embedding_near_dup": _sql_emb_near_dup(),
     "language_id": _sql_language_id(),
     "token_counts": SQL_TOKEN_COUNTS,

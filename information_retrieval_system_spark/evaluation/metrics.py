@@ -115,13 +115,20 @@ def precision_recall_mrr(results: DataFrame, qrels: DataFrame, k: int = 5) -> Da
     )
 
 
-def evaluate(results: DataFrame, qrels: DataFrame, k: int | None = None) -> DataFrame:
-    """-> one row: (mean_ap, min_ap, max_ap, mean_ndcg, min_ndcg,
-    max_ndcg) — the aggregate surface Search_FR.java:1460-1465 exposes."""
+def per_query_eval(results: DataFrame, qrels: DataFrame, k: int | None = None) -> DataFrame:
+    """-> (qid, ap, ndcg) — the per-query rows underneath ``evaluate``'s
+    aggregates (Search_FR.java:1016,1031 records per-query values before
+    the min/max/mean getters :1460-1465)."""
     ranked = ranked_with_relevance(results, qrels)
     ap = average_precision(ranked, qrels)
     nd = ndcg(ranked, qrels, k)
-    j = ap.join(nd, "qid", "outer").fillna({"ap": 0.0, "ndcg": 0.0})
+    return ap.join(nd, "qid", "outer").fillna({"ap": 0.0, "ndcg": 0.0})
+
+
+def evaluate(results: DataFrame, qrels: DataFrame, k: int | None = None) -> DataFrame:
+    """-> one row: (mean_ap, min_ap, max_ap, mean_ndcg, min_ndcg,
+    max_ndcg) — the aggregate surface Search_FR.java:1460-1465 exposes."""
+    j = per_query_eval(results, qrels, k)
     return j.agg(
         F.avg("ap").alias("mean_ap"),
         F.min("ap").alias("min_ap"),

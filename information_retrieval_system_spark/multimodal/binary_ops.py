@@ -57,6 +57,84 @@ def attach_blob_metadata(df: DataFrame, binary_col: str) -> DataFrame:
     )
 
 
+# --- header-only dimension parse (REAL logic, no codec needed) ------------
+
+def parse_image_header(payload: bytes | None) -> tuple[int, int] | None:
+    """Width/height from the container header alone — no codec library:
+
+    - PNG: the IHDR chunk is mandatory and FIRST (PNG spec 11.2.2), so
+      width/height are big-endian uint32 at bytes 16..24;
+    - JPEG: scan marker segments for SOFn (0xC0-0xCF excluding
+      C4/C8/CC); height/width are big-endian uint16 at segment offset
+      +5/+7 (ITU T.81 B.2.2).
+
+    Returns None when the bytes aren't a parseable PNG/JPEG — callers
+    decide whether to fall back (fake) or fail (honest guard)."""
+    if not payload:
+        return None
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        if len(payload) >= 24 and payload[12:16] == b"IHDR":
+            return (int.from_bytes(payload[16:20], "big"),
+                    int.from_bytes(payload[20:24], "big"))
+        return None
+    if payload[:2] == b"\xff\xd8":
+        i, n = 2, len(payload)
+        while i + 4 <= n:
+            if payload[i] != 0xFF:
+                return None
+            marker = payload[i + 1]
+            if marker == 0x01 or 0xD0 <= marker <= 0xD8:  # standalone
+                i += 2
+                continue
+            seg_len = int.from_bytes(payload[i + 2:i + 4], "big")
+            if seg_len < 2:
+                return None
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 9 <= n:
+                    return (int.from_bytes(payload[i + 7:i + 9], "big"),
+                            int.from_bytes(payload[i + 5:i + 7], "big"))
+                return None
+            i += 2 + seg_len
+        return None
+    return None
+
+
+def png_bytes(width: int, height: int) -> bytes:
+    """Minimal valid PNG prefix (signature + IHDR) — fixture builder for
+    testing the header parser without codec libraries."""
+    ihdr = width.to_bytes(4, "big") + height.to_bytes(4, "big") + bytes(
+        [8, 2, 0, 0, 0])  # bit depth 8, truecolor
+    return (b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR" + ihdr
+            + b"\x00\x00\x00\x00")  # CRC not validated by the parser
+
+
+def jpeg_bytes(width: int, height: int) -> bytes:
+    """Minimal JPEG prefix: SOI + APP0(JFIF) + SOF0 carrying the dims."""
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00\x01\x01\x00" + bytes(6)
+    sof0 = (b"\xff\xc0" + (11).to_bytes(2, "big") + bytes([8])
+            + height.to_bytes(2, "big") + width.to_bytes(2, "big") + bytes([1, 0x11, 0]))
+    return b"\xff\xd8" + app0 + sof0
+
+
+def image_header_dims(
+    df: DataFrame, id_col: str = "media_id", binary_col: str = "payload"
+) -> DataFrame:
+    """-> (media_id, width int|null, height int|null): REAL header-only
+    dimensions for PNG/JPEG payloads (null for unparseable bytes) —
+    Arrow-batched, no codec dependency, no fake.  The metadata pass a
+    100-TB media pipeline runs BEFORE deciding what to decode."""
+    def dims(s):  # unannotated: future-annotations would stringify hints
+        parsed = s.map(lambda b: parse_image_header(bytes(b) if b is not None else None))
+        return pd.DataFrame({
+            "width": parsed.map(lambda t: t[0] if t else None),
+            "height": parsed.map(lambda t: t[1] if t else None),
+        })
+
+    udf = F.pandas_udf(dims, "width int, height int")
+    return df.select(id_col, udf(F.col(binary_col)).alias("_d")).select(
+        id_col, F.col("_d.width").alias("width"), F.col("_d.height").alias("height"))
+
+
 # --- decode (stubbed codec, real plumbing) --------------------------------
 
 DECODED_SCHEMA = (
@@ -112,8 +190,12 @@ def decode_images(
                         c = len(im.getbands())
                         d = "pil"
                 else:
-                    w, h = _fake_dims(data)
-                    c, d = 3, "fake"
+                    hd = parse_image_header(data)
+                    if hd is not None:  # REAL header-only dimensions
+                        (w, h), c, d = hd, 3, "header"
+                    else:
+                        w, h = _fake_dims(data)
+                        c, d = 3, "fake"
                 ids.append(int(mid)); ws.append(w); hs.append(h); cs.append(c); dec.append(d)
             yield pd.DataFrame({"media_id": ids, "width": ws, "height": hs,
                                 "n_channels": cs, "decoder": dec})

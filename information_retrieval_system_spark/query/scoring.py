@@ -255,25 +255,22 @@ def conjunctive_search(
     exists in the vocabulary — absent terms make the result empty, the
     strict-AND convention), scored 1.0.  The posting-list intersection
     is one groupBy counting distinct matched terms per doc — no
-    iterative list-merge, and skew-capped like any count aggregate."""
-    # ONE driver job decides strict-AND emptiness: distinct query terms
-    # left-joined against the vocabulary, counting total vs present
-    row = (
-        query_terms.select("term").distinct()
-        .join(F.broadcast(index.terms.select("term").withColumn("_p", F.lit(1))),
-              "term", "left")
-        .agg(F.count("*").alias("_total"),
-             F.coalesce(F.sum("_p"), F.lit(0)).alias("_present"))
-        .collect()[0]
-    )
-    n_terms = int(row["_present"])
-    if n_terms == 0 or n_terms < int(row["_total"]):
-        return index.docs.sparkSession.createDataFrame([], "doc_id long, score double")
+    iterative list-merge, and skew-capped like any count aggregate.
+
+    Strict-AND emptiness is decided IN-PLAN (r5 verdict #6): the
+    REQUIRED distinct-term count (absent terms included) rides the plan
+    as a 1-row broadcast, and docs keep only when matched == required —
+    a doc cannot match an absent term, so any absent term empties the
+    result by arithmetic.  No per-query driver round-trip, so looping
+    callers amortize exactly like batch_conjunctive_search."""
+    need = query_terms.select("term").distinct().agg(
+        F.count("*").alias("_need"))
     m = _matched(index, query_terms, candidates)
     return (
         m.groupBy("doc_id")
         .agg(F.countDistinct("term").alias("_nt"))
-        .filter(F.col("_nt") == n_terms)
+        .join(F.broadcast(need))  # 1-row scalar rides the plan
+        .filter(F.col("_nt") == F.col("_need"))
         .select("doc_id", F.lit(1.0).alias("score"))
         .orderBy(F.asc("doc_id"))
         .limit(k)

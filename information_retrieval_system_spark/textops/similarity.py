@@ -260,6 +260,174 @@ def ivf_topk_served(
     return cosine_topk(vecs, query_vec, k, id_col, vec_col)
 
 
+def kmeans_seeds(
+    emb: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list[tuple[int, list[float]]]:
+    """Deterministic seed pick — the k vectors with the smallest
+    (h60(id), id): a salted-hash 'random' sample with NO RNG state, so
+    training is reproducible across runs/partitionings (the
+    quality-sampling precedent, stats.h60).  One TakeOrderedAndProject
+    job; cid = 1..k in hash order."""
+    from .hashing import h60
+
+    rows = (
+        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .withColumn("h", h60(F.col("id").cast("string")))
+        .orderBy("h", "id")
+        .limit(k)
+        .collect()
+    )
+    return [(i + 1, [float(x) for x in r.v]) for i, r in enumerate(rows)]
+
+
+def _cents_df(spark, cents: list[tuple[int, list[float]]]) -> DataFrame:
+    return spark.createDataFrame(
+        [(cid, cv) for cid, cv in cents], "cid int, cv array<double>")
+
+
+def _assign_cells(emb_d: DataFrame, cents_df: DataFrame) -> DataFrame:
+    """(id, v) x broadcast centroids -> (id, v, cell): nearest centroid
+    by cosine, ties -> smaller cid.  ``max_by`` over the k-row fan-out
+    collapses map-side (the k copies of one row never leave their
+    partition), so the groupBy shuffles N rows, not N*k."""
+    joined = (
+        emb_d.withColumn("_k", F.lit(1))
+        .join(F.broadcast(cents_df.withColumn("_k", F.lit(1))), "_k")
+        .drop("_k")
+    )
+    cos = cosine_expr(F.col("v"), F.col("cv"))
+    return (
+        joined.withColumn("cos", cos)
+        .groupBy("id")
+        .agg(
+            F.max_by("cid", F.struct(F.col("cos"), -F.col("cid"))).alias("cell"),
+            F.first("v").alias("v"),
+        )
+    )
+
+
+def kmeans_train(
+    emb: DataFrame,
+    k: int,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tol: float | None = None,
+    round_dp: int = 9,
+) -> list[tuple[int, list[float]]]:
+    """Distributed Lloyd k-means over an embedding column — the IVF
+    centroid TRAINER (at 100 TB nobody hands you centroid ids; this is
+    the missing build half of the IVF split, r5 verdict #3).
+
+    Each iteration is two declarative passes, both scale-safe:
+    - ASSIGN: broadcast the K-row centroid table, nearest-by-cosine via
+      map-side-collapsing ``max_by`` (no window, no N*k shuffle);
+    - UPDATE: ``posexplode`` the assigned vectors and mean per
+      (cell, component) — partial aggregation shrinks the shuffle to
+      ~K*dim rows regardless of corpus size; components round to
+      ``round_dp`` so the update is engine-portable (double sums are
+      order-dependent; 9 dp absorbs the ulp drift, the Rocchio-cut
+      precedent).
+
+    Centroids live on the driver between iterations (K*dim doubles —
+    the pagerank driver-scalar pattern), keeping the lineage depth
+    constant.  A cell that loses all members keeps its previous
+    centroid.  ``tol``: optional early exit when the max centroid shift
+    (L-inf) drops below it; leave None for a FIXED iteration count
+    (what an SQL oracle can replay exactly).
+
+    Returns [(cid, centroid)] — feed to ``ivf_cells_from_centroids`` /
+    ``write_ivf_index_trained``."""
+    spark = emb.sparkSession
+    emb_d = emb.select(F.col(id_col).alias("id"),
+                       F.col(vec_col).cast("array<double>").alias("v"))
+    cents = kmeans_seeds(emb, k, id_col, vec_col)
+    for _ in range(iters):
+        assigned = _assign_cells(emb_d, _cents_df(spark, cents))
+        comp = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.round(F.avg("val"), round_dp).alias("m"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in comp:
+            by_cell.setdefault(int(r["cell"]), {})[int(r["pos"])] = float(r["m"])
+        new_cents = []
+        shift = 0.0
+        for cid, old in cents:
+            if cid in by_cell:
+                d = by_cell[cid]
+                vec = [d[p] for p in range(len(old))]
+            else:  # empty cell: keep the previous centroid
+                vec = old
+            shift = max(shift, max(abs(a - b) for a, b in zip(vec, old)))
+            new_cents.append((cid, vec))
+        cents = new_cents
+        if tol is not None and shift < tol:
+            break
+    return cents
+
+
+def ivf_cells_from_centroids(
+    emb: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell) assignment against TRAINED centroid vectors (the
+    literal-centroid counterpart of ivf_cells' data-point variant)."""
+    emb_d = emb.select(F.col(id_col).alias("id"),
+                       F.col(vec_col).cast("array<double>").alias("v"))
+    return _assign_cells(emb_d, _cents_df(emb.sparkSession, cents)).select("id", "cell")
+
+
+def ivf_trained_topk(
+    emb: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe against trained centroids: nearest ``n_probe`` cells by
+    the SAME cosine path as assignment, then exact cosine top-k within
+    only those cells' members."""
+    spark = emb.sparkSession
+    cents_df = _cents_df(spark, cents)
+    probes = _probe_cells(cents_df, query_vec, n_probe)
+    cells = ivf_cells_from_centroids(emb, cents, id_col, vec_col)
+    cand = emb.join(
+        cells.filter(F.col("cell").isin(probes)),
+        emb[id_col] == cells["id"], "leftsemi")
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def write_ivf_index_trained(
+    emb: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    out_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """write_ivf_index with TRAINED centroids: cell-partitioned vectors
+    + the K-row centroid table; probe with ivf_topk_served unchanged."""
+    import os
+
+    cells = ivf_cells_from_centroids(emb, cents, id_col, vec_col)
+    assigned = emb.join(cells, emb[id_col] == cells["id"]).drop("id")
+    (
+        assigned.repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(out_dir, "vectors"))
+    )
+    spark = emb.sparkSession
+    _cents_df(spark, cents).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "centroids"))
+
+
 #: target LSH bucket population when ``lsh_bits`` is derived from N:
 #: in-bucket pairing is O(bucket²), so ~1k rows/bucket keeps the verify
 #: stage ~10⁶ comparisons per bucket regardless of corpus size

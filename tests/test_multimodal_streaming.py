@@ -252,3 +252,36 @@ def test_compact_to_snapshot_lineage(spark, tmp_path):
     terms = {r.term: (r.df, r.cf) for r in ix.terms.collect()}
     assert terms == {"alpha": (2, 3), "beta": (2, 5), "gamma": (1, 1)}
     assert ix.stats["n_docs"] == 3 and ix.stats["int_doc_ids"] is True
+
+
+def test_parse_image_header_roundtrip():
+    """REAL header-only dimension parse: every synthesized PNG/JPEG
+    prefix round-trips exact dimensions; garbage and truncation -> None."""
+    from information_retrieval_system_spark.multimodal.binary_ops import (
+        jpeg_bytes, parse_image_header, png_bytes)
+
+    for w, h in [(16, 16), (255, 100), (1920, 1080), (240, 23), (65535, 1)]:
+        assert parse_image_header(png_bytes(w, h)) == (w, h)
+        assert parse_image_header(jpeg_bytes(w, h)) == (w, h)
+    assert parse_image_header(None) is None
+    assert parse_image_header(b"") is None
+    assert parse_image_header(b"\x89PNG\r\n\x1a\x08aaaa") is None
+    assert parse_image_header(b"\xff\xd8\xffbbbbb") is None
+    assert parse_image_header(png_bytes(5, 5)[:20]) is None
+
+
+def test_decode_prefers_real_headers(spark):
+    """decode_images without PIL: parseable PNG/JPEG payloads get REAL
+    header dimensions (decoder='header'); unparseable bytes keep the
+    deterministic fake."""
+    from information_retrieval_system_spark.multimodal.binary_ops import (
+        decode_images, jpeg_bytes, png_bytes)
+
+    rows = [(1, bytearray(png_bytes(320, 200))),
+            (2, bytearray(jpeg_bytes(640, 480))),
+            (3, bytearray(b"notanimage" * 5))]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r.media_id: r for r in decode_images(media, allow_fake=True).collect()}
+    assert (out[1].width, out[1].height, out[1].decoder) == (320, 200, "header")
+    assert (out[2].width, out[2].height, out[2].decoder) == (640, 480, "header")
+    assert out[3].decoder == "fake"

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import math
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -423,3 +425,49 @@ def test_quality_stratified_sample_deterministic(spark, sf_small):
     c = sorted(r.id for r in quality_stratified_sample(
         scored, SAMPLE_RATES, salt="other").collect())
     assert c != a
+
+
+def test_kmeans_trained_ivf_recall_and_determinism(spark, tmp_path):
+    """Distributed Lloyd trainer (r5 verdict #3): on a corpus with 4
+    well-separated synthetic clusters, 2 iterations from hash seeds must
+    (a) be deterministic across runs, (b) give the trained-IVF probe
+    recall@5 >= 0.8 vs exact cosine top-k, and (c) serve through the
+    written cell-partitioned layout identically to the in-memory path."""
+    import math
+
+    # 4 separated clusters on distinct axes + small deterministic jitter
+    def vec(i):
+        c = i % 4
+        base = [0.0] * 8
+        base[c * 2] = 1.0
+        return [b + 0.05 * math.sin(i * 7 + j) for j, b in enumerate(base)]
+
+    rows = [(i, vec(i)) for i in range(80)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = similarity.kmeans_train(emb, k=4, iters=2)
+    assert similarity.kmeans_train(emb, k=4, iters=2) == cents  # deterministic
+    assert len(cents) == 4 and all(len(cv) == 8 for _, cv in cents)
+
+    q = rows[13][1]
+    exact = [r.vec_id for r in similarity.cosine_topk(emb, q, k=5).collect()]
+    approx = [r.vec_id
+              for r in similarity.ivf_trained_topk(emb, cents, q, k=5, n_probe=2).collect()]
+    assert len(set(exact) & set(approx)) >= 4  # recall@5 >= 0.8
+
+    out_dir = str(tmp_path / "ivf_trained")
+    similarity.write_ivf_index_trained(emb, cents, out_dir)
+    served = similarity.ivf_topk_served(spark, out_dir, q, k=5, n_probe=2)
+    assert [(r.vec_id, round(r.cosine, 9)) for r in served.collect()] == \
+        [(r.vec_id, round(r.cosine, 9))
+         for r in similarity.ivf_trained_topk(emb, cents, q, k=5, n_probe=2).collect()]
+
+
+def test_kmeans_empty_cell_keeps_centroid(spark):
+    """A centroid that attracts no members keeps its previous vector
+    instead of crashing or going to NaN."""
+    rows = [(i, [1.0 + 0.01 * i, 0.0]) for i in range(10)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = similarity.kmeans_train(emb, k=3, iters=2)
+    assert len(cents) == 3
+    for _, cv in cents:
+        assert all(not math.isnan(x) for x in cv)

@@ -136,10 +136,30 @@ def run_batch_routed(spark, six, b_all, dlb_served, vocab: int,
     bs_rows = {(r.qid, r.rank): (r.doc_id, round(r.score, 6)) for r in bs.collect()}
     batch_sample_sec = time.perf_counter() - t0
 
+    # retrieval -> eval composed (r5 verdict #5): the SAME routed batch
+    # feeding qrels-joined AP/nDCG + suite aggregates in one plan — the
+    # reference's whole golden run (retrieve 635, score with themisEval,
+    # Search_FR.java:994-1098) as a single Spark job.  Deterministic
+    # synthetic qrels (same expression as the batch_eval_summary gate),
+    # restricted to a doc prefix so the qrels side stays ~1M rows.
+    from information_retrieval_system_spark.evaluation.metrics import evaluate
+
+    t0 = time.perf_counter()
+    qids_df = spark.createDataFrame([(q,) for q in range(n_queries)], "qid long")
+    qdocs = six.docs.select("doc_id").filter(F.col("doc_id") < 2000)
+    qrels = qids_df.crossJoin(qdocs).withColumn(
+        "relevance",
+        ((F.col("doc_id") * 3 + F.col("qid") * 17) % 10 < 3).cast("int"))
+    summary = evaluate(res.select("qid", "doc_id", "score"), qrels).collect()[0]
+    eval_sec = time.perf_counter() - t0
+
     per_q = loop_sample_sec / sample_n
     return {
         "n_queries": n_queries,
         "batch_sec": round(batch_sec, 3),
+        "eval_sec": round(eval_sec, 3),
+        "eval_mean_ap": round(float(summary["mean_ap"]), 4),
+        "eval_mean_ndcg": round(float(summary["mean_ndcg"]), 4),
         "routes_wand": sum(1 for v in routes.values() if v == "wand"),
         "routes_exhaustive": sum(1 for v in routes.values() if v == "exhaustive"),
         "loop_sample_n": sample_n,
