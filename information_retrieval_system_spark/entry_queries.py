@@ -565,6 +565,8 @@ _GRADE_FIRST = [
     "training_mix",
     "batch_eval_summary",
     "image_headers",
+    "decontaminate",
+    "mix_report",
 ]
 
 

@@ -955,6 +955,70 @@ FROM sampled
 """
 
 
+DECON_EVAL_MOD = 29  # doc_id % 29 == 0 -> the held-out "benchmark" docs
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination over the documents table: a
+    deterministic eval slice (doc_id % {DECON_EVAL_MOD} == 0) stands in
+    for a held-out benchmark; every remaining (train) doc sharing a word
+    {NGRAM_N}-gram with it is reported with its contaminated-shingle
+    count and fraction.  The eval shingle set rides a broadcast — the
+    corpus-side plan is one shingle explode + two same-key aggregations,
+    so the check costs one pass at any corpus scale."""
+    docs = _docs(spark, sf_dir)
+    ev = docs.filter(F.col("doc_id") % DECON_EVAL_MOD == 0)
+    tr = docs.filter(F.col("doc_id") % DECON_EVAL_MOD != 0)
+    out = dedup.decontaminate(tr, ev, "text", "doc_id", n=NGRAM_N)
+    return out.select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("n_overlap").cast("long").alias("n_overlap"),
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        F.round("overlap_frac", 4).alias("overlap_frac"),
+    )
+
+
+SQL_DECONTAMINATE = f"""
+WITH {SHINGLE_CTE},
+ev AS (SELECT DISTINCT shingle FROM sh WHERE id % {DECON_EVAL_MOD} = 0),
+tr AS (SELECT id, shingle FROM sh WHERE id % {DECON_EVAL_MOD} <> 0),
+sizes AS (SELECT id, count(*) AS n_shingles FROM tr GROUP BY id),
+hits AS (SELECT tr.id, count(*) AS n_overlap
+         FROM tr JOIN ev USING (shingle) GROUP BY tr.id)
+SELECT CAST(h.id AS BIGINT) AS doc_id,
+       CAST(h.n_overlap AS BIGINT) AS n_overlap,
+       CAST(s.n_shingles AS BIGINT) AS n_shingles,
+       round(h.n_overlap / s.n_shingles, 4) AS overlap_frac
+FROM hits h JOIN sizes s ON h.id = s.id
+"""
+
+
+def q_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(source, lang) curation composition report: docs,
+    whitespace tokens and chars per (source, lang), per source, and
+    corpus-wide — the summary a training-mix run ships alongside its
+    output."""
+    from .textops.stats import mix_report
+
+    out = mix_report(_docs(spark, sf_dir), ["source", "lang"])
+    return out.select(
+        "source", "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+
+
+SQL_MIX_REPORT = """
+SELECT coalesce(source, '<all>') AS source,
+       coalesce(lang, '<all>') AS lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))) AS BIGINT) AS n_tokens,
+       CAST(sum(len(text)) AS BIGINT) AS n_chars
+FROM documents GROUP BY ROLLUP (source, lang)
+"""
+
+
 # --- multimodal binary metadata (payload = utf-8 bytes of text) -----------
 
 def q_blob_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1209,6 +1273,8 @@ TEXTOPS_QUERIES = {
     "ivf_topk": q_ivf_topk,
     "ivf_trained_topk": q_ivf_trained_topk,
     "training_mix": q_training_mix,
+    "decontaminate": q_decontaminate,
+    "mix_report": q_mix_report,
     "embedding_near_dup": q_embedding_near_dup,
     "language_id": q_language_id,
     "token_counts": q_token_counts,
@@ -1241,6 +1307,8 @@ TEXTOPS_ORACLES = {
     "ivf_topk": _sql_ivf_topk(),
     "ivf_trained_topk": _sql_ivf_trained_topk(),
     "training_mix": _sql_training_mix(),
+    "decontaminate": SQL_DECONTAMINATE,
+    "mix_report": SQL_MIX_REPORT,
     "embedding_near_dup": _sql_emb_near_dup(),
     "language_id": _sql_language_id(),
     "token_counts": SQL_TOKEN_COUNTS,

@@ -202,6 +202,49 @@ def jaccard_for_candidate_pairs(
     return _jaccard_from_inter(inter, sizes, threshold)
 
 
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: -> (id, n_overlap, n_shingles,
+    overlap_frac) for every TRAIN doc sharing at least one word n-gram
+    with any EVAL doc (the n-gram-collision test LLM data pipelines run
+    before training so eval answers don't leak into the mix; n=8-13 is
+    the conventional window).
+
+    Scale shape: the eval side is an evaluation benchmark — KB-to-MB
+    against a 100-TB train corpus — so its DISTINCT shingle set is
+    broadcast into a hash join against the train shingle stream.  The
+    train side is one shingle explode + two aggregations on the same
+    (id) key; the eval side never shuffles the corpus.  ``n_shingles``
+    counts the doc's distinct shingles, so ``overlap_frac`` is the
+    contaminated fraction of the doc's own n-gram set (1.0 = every
+    n-gram of the doc appears somewhere in the eval set)."""
+    ev = (
+        shingle_table(eval_df, text_col, id_col, n)
+        .select("shingle").distinct()
+    )
+    tr = shingle_table(train, text_col, id_col, n)
+    sizes = tr.groupBy("id").agg(F.count("*").alias("n_shingles"))
+    hits = (
+        tr.join(F.broadcast(ev), "shingle")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    return (
+        hits.join(sizes, "id")
+        .select(
+            "id",
+            "n_overlap",
+            "n_shingles",
+            (F.col("n_overlap") / F.col("n_shingles")).alias("overlap_frac"),
+        )
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str,

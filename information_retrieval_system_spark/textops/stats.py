@@ -164,3 +164,38 @@ def quality_stratified_sample(
         rate = F.when(band == b, thr).otherwise(rate)
     u = h60(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))) % F.lit(1_000_000)
     return scored.filter(u < rate)
+
+
+def mix_report(
+    df: DataFrame,
+    dims: list[str],
+    text_col: str = "text",
+    all_label: str = "<all>",
+) -> DataFrame:
+    """Curation mix report: ROLLUP over ``dims`` (e.g. source, lang)
+    with doc / whitespace-token / char totals per group plus each
+    subtotal level — the composition summary a training-mix run ships
+    with its output (what fraction of the mix is which source, in docs
+    and in tokens).
+
+    Scale shape: one pass, map-side partial aggregation; the result is
+    ~the product of dim cardinalities regardless of corpus size.
+    Rolled-up dimension slots render as ``all_label`` (the corpus has no
+    NULL dims; coalesce is applied identically engine- and oracle-side
+    so parity holds either way)."""
+    t = F.col(text_col)
+    ws = F.size(F.filter(F.split(t, r"\s+"), lambda x: x != F.lit("")))
+    base = df.select(
+        *dims,
+        ws.cast("long").alias("_toks"),
+        F.length(t).cast("long").alias("_chars"),
+    )
+    out = base.rollup(*dims).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_toks").alias("n_tokens"),
+        F.sum("_chars").alias("n_chars"),
+    )
+    return out.select(
+        *[F.coalesce(F.col(d), F.lit(all_label)).alias(d) for d in dims],
+        "n_docs", "n_tokens", "n_chars",
+    )

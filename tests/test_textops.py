@@ -471,3 +471,52 @@ def test_kmeans_empty_cell_keeps_centroid(spark):
     assert len(cents) == 3
     for _, cv in cents:
         assert all(not math.isnan(x) for x in cv)
+
+
+def test_decontaminate_planted_overlap(spark):
+    """A train doc sharing an 8-gram with the eval set is flagged with
+    the exact overlap count/fraction; clean docs don't appear."""
+    from information_retrieval_system_spark.textops.dedup import decontaminate
+
+    eval_rows = [(100, "the quick brown fox jumps over the lazy dog tonight")]
+    train_rows = [
+        # shares the full 8-gram window with the eval doc
+        (1, "prefix words the quick brown fox jumps over the lazy dog"),
+        (2, "completely different content with no overlapping ngrams here at all ok"),
+        (3, "the quick brown fox jumps over the lazy dog tonight"),  # verbatim
+    ]
+    ev = spark.createDataFrame(eval_rows, "doc_id long, text string")
+    tr = spark.createDataFrame(train_rows, "doc_id long, text string")
+    out = {r.id: r for r in decontaminate(tr, ev, n=8).collect()}
+    assert set(out) == {1, 3}
+    # doc 1: tokens=11 -> 4 shingles of 8; the last 2 lie inside the eval text
+    assert (out[1].n_overlap, out[1].n_shingles) == (2, 4)
+    # doc 3 is verbatim: every one of its shingles is contaminated
+    assert out[3].n_overlap == out[3].n_shingles
+    assert out[3].overlap_frac == 1.0
+
+
+def test_decontaminate_no_overlap_empty(spark):
+    from information_retrieval_system_spark.textops.dedup import decontaminate
+
+    ev = spark.createDataFrame([(1, "alpha beta gamma delta")], "doc_id long, text string")
+    tr = spark.createDataFrame([(2, "zeta eta theta iota")], "doc_id long, text string")
+    assert decontaminate(tr, ev, n=3).count() == 0
+
+
+def test_mix_report_rollup_totals(spark):
+    from information_retrieval_system_spark.textops.stats import mix_report
+
+    rows = [
+        ("web", "en", "one two three"),
+        ("web", "en", "four five"),
+        ("web", "de", "sechs sieben"),
+        ("book", "en", "eight"),
+    ]
+    df = spark.createDataFrame(rows, "source string, lang string, text string")
+    out = {(r.source, r.lang): r for r in mix_report(df, ["source", "lang"]).collect()}
+    assert out[("web", "en")].n_docs == 2 and out[("web", "en")].n_tokens == 5
+    assert out[("web", "<all>")].n_docs == 3 and out[("web", "<all>")].n_tokens == 7
+    assert out[("<all>", "<all>")].n_docs == 4 and out[("<all>", "<all>")].n_tokens == 8
+    assert out[("book", "en")].n_chars == len("eight")
+    assert len(out) == 3 + 2 + 1  # leaf groups + per-source + grand total
