@@ -524,6 +524,65 @@ LIMIT {PHRASE_K}
 """
 
 
+# --- proximity (min-token-distance) search ----------------------------------
+
+PROX_PAIR = ("join", "merge")
+PROX_K = 50
+
+
+def q_proximity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity ranking over the positional index: docs with both terms
+    ranked by the MIN token distance between any occurrence pair, found
+    by a sorted-merge over the two position lists (O(tf_a+tf_b) per doc
+    — never the positions cross-product).  The oracle deliberately IS
+    the brute-force cross-product min: two different algorithms, one
+    answer."""
+    from .index.builder import build_index
+    from .query.phrase import proximity_search
+
+    if sf_dir not in _POS_INDEX_CACHE:
+        docs = EQ.load_documents(spark, sf_dir)
+        _POS_INDEX_CACHE[sf_dir] = build_index(
+            docs, EQ.NOSTEM_CFG, doc_col="doc_id", text_col="text",
+            with_positions=True,
+        )
+    ix = _POS_INDEX_CACHE[sf_dir]
+    out = proximity_search(ix, PROX_PAIR[0], PROX_PAIR[1], k=PROX_K)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      "min_dist", "n_a", "n_b")
+
+
+SQL_PROXIMITY_TOPK = f"""
+WITH tokarr AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(regexp_replace(regexp_replace(text,
+             '[^\\p{{L}}\\p{{Nd}}]+', ' ', 'g'), '[0-9]', ' ', 'g'))), ' +'),
+             t -> t <> '') AS toks
+  FROM documents
+),
+tokpos AS (
+  SELECT doc_id, pos, tok
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(len(toks)),
+                      i -> {{'pos': i, 'tok': toks[i + 1]}}), recursive := true)
+        FROM tokarr)
+),
+plists AS (
+  SELECT doc_id, tok AS term, list(pos ORDER BY pos) AS ps
+  FROM tokpos GROUP BY doc_id, tok
+)
+SELECT CAST(a.doc_id AS BIGINT) AS doc_id,
+       CAST(list_min(flatten(list_transform(a.ps,
+            x -> list_transform(b.ps, y -> abs(x - y))))) AS BIGINT) AS min_dist,
+       CAST(len(a.ps) AS BIGINT) AS n_a,
+       CAST(len(b.ps) AS BIGINT) AS n_b
+FROM plists a JOIN plists b USING (doc_id)
+WHERE a.term = '{PROX_PAIR[0]}' AND b.term = '{PROX_PAIR[1]}'
+ORDER BY min_dist ASC, doc_id ASC
+LIMIT {PROX_K}
+"""
+
+
 # --- spelling correction IN the query lifecycle ------------------------------
 
 #: a fully-typo'd query: substitution, adjacent transposition, insertion.
@@ -818,6 +877,7 @@ BATCH_QUERIES_REG = {
     "batch_conjunctive": q_batch_conjunctive,
     "prefix_suggest": q_prefix_suggest,
     "phrase_search": q_phrase_search,
+    "proximity_topk": q_proximity_topk,
     "batch_bm25": q_batch_bm25,
     "field_term_stats": q_field_term_stats,
     "expanded_vsm": q_expanded_bm25,
@@ -837,6 +897,7 @@ BATCH_ORACLES = {
     "batch_conjunctive": SQL_BATCH_CONJUNCTIVE,
     "prefix_suggest": _sql_prefix_suggest(),
     "phrase_search": SQL_PHRASE_SEARCH,
+    "proximity_topk": SQL_PROXIMITY_TOPK,
     "batch_bm25": SQL_BATCH_BM25,
     "field_term_stats": SQL_FIELD_TERM_STATS,
     "expanded_vsm": SQL_EXPANDED_BM25,

@@ -1251,7 +1251,150 @@ FROM g
 """
 
 
+# --- PII redaction -----------------------------------------------------------
+
+#: The synthetic corpus is digit-free, so the gate would be vacuous on raw
+#: ``text``.  Both sides therefore append a DETERMINISTIC doc_id-derived PII
+#: suffix (email + IPv4 + phone) to 2 of every 3 docs — doc_id % 3 == 0 rows
+#: stay clean so zero-count rows are graded too.  No external data; the
+#: augmentation is part of the gate, not the operator.
+_PII_AUG_SUFFIX_SQL = """text || ' contact alice.' || CAST(doc_id AS VARCHAR)
+      || '@example.org via 10.' || CAST(doc_id % 200 AS VARCHAR)
+      || '.' || CAST((doc_id * 7) % 200 AS VARCHAR)
+      || '.' || CAST((doc_id * 13) % 200 AS VARCHAR)
+      || ' tel 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+      || '-' || lpad(CAST((doc_id * 3) % 10000 AS VARCHAR), 4, '0')"""
+
+
+def _pii_augmented(docs: DataFrame) -> DataFrame:
+    d = F.col("doc_id")
+    suffix = F.concat(
+        F.lit(" contact alice."), d.cast("string"),
+        F.lit("@example.org via 10."), (d % 200).cast("string"),
+        F.lit("."), ((d * 7) % 200).cast("string"),
+        F.lit("."), ((d * 13) % 200).cast("string"),
+        F.lit(" tel 555-"), F.lpad((d % 1000).cast("string"), 3, "0"),
+        F.lit("-"), F.lpad(((d * 3) % 10000).cast("string"), 4, "0"),
+    )
+    aug = F.when(d % 3 == 0, F.col("text")).otherwise(F.concat(F.col("text"), suffix))
+    return docs.select("doc_id", aug.alias("text"))
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (quality.redact_pii): per-kind match counts +
+    placeholder-substituted text, pure codegen'd column exprs — the
+    scrub pass of a curation pipeline, scan-bound at any scale."""
+    out = quality.redact_pii(_pii_augmented(_docs(spark, sf_dir)), "text", "doc_id")
+    return out.select(F.col("id").cast("long").alias("doc_id"),
+                      "n_email", "n_ip", "n_phone", "redacted")
+
+
+def _sql_pii_redact() -> str:
+    pats = {kind: pat for kind, pat, _ in quality.PII_PATTERNS}
+    red = "text"
+    for kind, pat, rep in quality.PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{rep}', 'g')"
+    counts = ",\n  ".join(
+        f"CAST(len(regexp_extract_all(text, '{pats[k]}')) AS BIGINT) AS n_{k}"
+        for k in ("email", "ip", "phone")
+    )
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN text
+              ELSE {_PII_AUG_SUFFIX_SQL}
+         END AS text
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  {counts},
+  {red} AS redacted
+FROM aug
+"""
+
+
+# --- per-source cap (domain balancing) ---------------------------------------
+
+SOURCE_CAP_K = 10
+
+
+def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap (stats.cap_per_group): keep the top-K docs per
+    source under a total order — skew-safe two-phase ranking (salted
+    bounded pre-rank, then re-rank survivors), never one task per hot
+    domain.  Oracle is the naive single window (results provably
+    identical under a total order)."""
+    from .textops.stats import cap_per_group
+
+    out = cap_per_group(
+        _docs(spark, sf_dir), "source",
+        [F.desc("n_chars"), F.asc("doc_id")], k=SOURCE_CAP_K,
+        id_col="doc_id",
+    )
+    return out.select("doc_id", "source",
+                      F.col("n_chars").cast("long").alias("n_chars"),
+                      F.col("rank").cast("long").alias("rank"))
+
+
+SQL_SOURCE_CAP = f"""
+WITH rk AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id ASC) AS rank
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+       CAST(n_chars AS BIGINT) AS n_chars, CAST(rank AS BIGINT) AS rank
+FROM rk WHERE rank <= {SOURCE_CAP_K}
+"""
+
+
+# --- token-budget packing ----------------------------------------------------
+
+PACK_BUDGET = 512
+
+
+def q_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget packing (stats.pack_stream): every doc's (bin,
+    offset) in the concatenated fixed-context training stream via a
+    distributed exclusive prefix sum — the oracle is the naive
+    single-window cumulative sum."""
+    from .textops.stats import pack_stream
+
+    docs = _docs(spark, sf_dir)
+    t = F.col("text")
+    with_tokens = docs.select(
+        "doc_id",
+        F.size(F.filter(F.split(t, r"\s+"), lambda x: x != F.lit("")))
+        .cast("long").alias("n_tokens"),
+    )
+    out = pack_stream(with_tokens, "n_tokens", "doc_id", budget=PACK_BUDGET)
+    return out.select("doc_id", "n_tokens", "cum_excl", "bin", "bin_offset")
+
+
+SQL_TOKEN_PACK = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_excl
+  FROM t
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tokens, cum_excl,
+       CAST(cum_excl // {PACK_BUDGET} AS BIGINT) AS bin,
+       CAST(cum_excl % {PACK_BUDGET} AS BIGINT) AS bin_offset
+FROM c
+"""
+
+
 TEXTOPS_QUERIES = {
+    "pii_redact": q_pii_redact,
+    "source_cap": q_source_cap,
+    "token_pack": q_token_pack,
     "tfidf_keywords": q_tfidf_keywords,
     "repetition_ratio": q_repetition_ratio,
     "quality_sampled": q_quality_sampled,
@@ -1286,6 +1429,9 @@ TEXTOPS_QUERIES = {
 }
 
 TEXTOPS_ORACLES = {
+    "pii_redact": _sql_pii_redact(),
+    "source_cap": SQL_SOURCE_CAP,
+    "token_pack": SQL_TOKEN_PACK,
     "tfidf_keywords": _sql_tfidf_keywords(),
     "repetition_ratio": SQL_REPETITION_RATIO,
     "quality_sampled": _sql_quality_sampled(),

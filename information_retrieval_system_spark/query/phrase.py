@@ -64,3 +64,62 @@ def phrase_search(
         "doc_id", F.size("chain").cast("long").alias("score")
     )
     return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def proximity_search(
+    index: IndexTables,
+    term_a: str,
+    term_b: str,
+    k: int = 10,
+) -> DataFrame:
+    """Proximity ranking: docs containing BOTH terms, ranked by the
+    minimum token distance between any occurrence pair (ascending —
+    closer is better), ties broken by doc_id.
+
+    -> (doc_id, min_dist, n_a, n_b).
+
+    Min pair distance is found by a SORTED-MERGE over the two position
+    lists, not a cross product: encode a-positions as ``2p`` and
+    b-positions as ``2p+1``, sort the union, and take the min gap over
+    adjacent elements of DIFFERENT parity (the classic two-pointer
+    argument: the closest (a, b) pair is adjacent in the merge).  Cost
+    is O((tf_a + tf_b) log) per doc instead of O(tf_a * tf_b) — a hot
+    document with thousands of occurrences of both terms stays linear,
+    which is what survives a 100x corpus.  Pure column expressions.
+    """
+    if term_a == term_b:
+        raise ValueError("proximity_search needs two distinct terms")
+    if "positions" not in index.postings.columns:
+        raise ValueError("index was built without positions (with_positions=False)")
+
+    pa = index.postings.filter(F.col("term") == term_a).select(
+        "doc_id", F.col("positions").alias("_pa"))
+    pb = index.postings.filter(F.col("term") == term_b).select(
+        "doc_id", F.col("positions").alias("_pb"))
+    j = pa.join(pb, "doc_id", "inner")
+    merged = F.array_sort(
+        F.concat(
+            F.transform(F.col("_pa"), lambda x: x * 2),
+            F.transform(F.col("_pb"), lambda x: x * 2 + 1),
+        )
+    )
+    out = (
+        j.withColumn("_m", merged)
+        .withColumn(
+            "min_dist",
+            F.expr(
+                "array_min(filter(transform(sequence(1, size(_m) - 1),"
+                " i -> IF((element_at(_m, i + 1) % 2) <> (element_at(_m, i) % 2),"
+                "         (element_at(_m, i + 1) div 2) - (element_at(_m, i) div 2),"
+                "         CAST(NULL AS BIGINT))),"
+                " x -> x IS NOT NULL))"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.col("min_dist").cast("long").alias("min_dist"),
+            F.size("_pa").cast("long").alias("n_a"),
+            F.size("_pb").cast("long").alias("n_b"),
+        )
+    )
+    return out.orderBy(F.asc("min_dist"), F.asc("doc_id")).limit(k)

@@ -39,6 +39,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        # the sandbox host overcommits CPU (hypervisor steal + other
+        # JVMs); under a long starvation window the local-mode executor
+        # can miss 60 consecutive 10s heartbeats to its own driver and
+        # self-terminate mid-suite.  Longer interval + network timeout
+        # ride out the stall; on a real cluster these are the same knobs
+        # used for GC-heavy executors.
+        .config("spark.executor.heartbeatInterval", "30s")
+        .config("spark.network.timeout", "600s")
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -475,6 +475,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 25,
+    edge_storage: "StorageLevel | None" = None,
 ) -> DataFrame:
     """(id_a, id_b) near-dup pairs -> (id, component) where component is
     the MINIMUM id reachable through the pair graph — the duplicate-
@@ -492,11 +493,19 @@ def connected_components(
     component map would make a dedup pipeline keep duplicates).
 
     Deterministic: the fixpoint is unique regardless of execution order.
+
+    ``edge_storage`` controls where the (reused-every-round) undirected
+    edge set lives: default MEMORY_AND_DESER cache; pass
+    ``StorageLevel.DISK_ONLY`` when the pair set is a large fraction of
+    executor memory (dedup over billions of near-dup pairs) — each
+    round re-reads it, so spilling it to disk trades one sequential
+    read per round for not evicting the shuffle working set.
     """
     edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     und = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct().cache()
+    ).distinct()
+    und = und.persist(edge_storage) if edge_storage is not None else und.cache()
     labels = (
         und.select(F.col("a").alias("id")).distinct()
         .withColumn("component", F.col("id"))

@@ -229,3 +229,37 @@ def repetition_ratio(
         total.cast("long").alias("n_grams"),
         F.round(ratio, 4).alias("rep_ratio"),
     )
+
+
+#: PII patterns restricted to the regex subset Java (Spark) and RE2
+#: (DuckDB) interpret identically: char classes, bounded repeats, \b.
+#: Count/replace order is fixed; counts are per-pattern on the ORIGINAL
+#: text (an overlapping span counts once per pattern that matches it).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+)
+
+
+def redact_pii(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """PII scrubbing for training-data curation: replace emails, IPv4
+    addresses and NANP-style phone numbers with typed placeholder
+    tokens and report per-kind match counts.
+
+    -> (id, n_email, n_ip, n_phone, redacted).
+
+    Pure column expressions (``regexp_extract_all`` + chained
+    ``regexp_replace``) — whole-stage codegen, zero shuffle, so the
+    pass is scan-bound at any corpus size.  Idempotent: placeholders
+    contain no characters any pattern matches.
+    """
+    t = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(t, F.lit(pat), 0)).cast("long").alias(f"n_{kind}")
+        for kind, pat, _ in PII_PATTERNS
+    ]
+    red = t
+    for _, pat, rep in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, rep)
+    return df.select(F.col(id_col).alias("id"), *counts, red.alias("redacted"))

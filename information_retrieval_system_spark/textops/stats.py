@@ -199,3 +199,120 @@ def mix_report(
         *[F.coalesce(F.col(d), F.lit(all_label)).alias(d) for d in dims],
         "n_docs", "n_tokens", "n_chars",
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_by: list,
+    k: int,
+    id_col: str = "id",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Per-group top-``k`` cap with a skew-safe two-phase plan — the
+    per-domain cap step of a web-scale curation pipeline (no single
+    source/domain may dominate the training mix).
+
+    ``order_by`` is a list of Columns defining a TOTAL order (tie-break
+    on a unique id) so the result is deterministic and identical to the
+    naive single-window ``row_number() <= k``.
+
+    Scale shape: a plain window over ``group_col`` puts an entire
+    group in ONE task — a hot domain with 10^9 rows is a straggler or
+    an OOM.  Phase 1 ranks within (group, salt) where salt =
+    h60(id) % salt_buckets, keeping <= salt_buckets * k rows per group
+    (bounded, whatever the group size); phase 2 re-ranks only those
+    survivors per group.  Because the order is total, discarding rows
+    ranked > k within any salt bucket can never discard a global
+    top-k row.  -> input columns + ``rank`` (1..k per group).
+    """
+    from .hashing import h60 as _h60  # local: avoid cycle at import time
+
+    salt = (_h60(F.col(id_col).cast("string")) % F.lit(salt_buckets)).alias("_salt")
+    w1 = Window.partitionBy(group_col, "_salt").orderBy(*order_by)
+    survivors = (
+        df.withColumn("_salt", salt)
+        .withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .drop("_salt", "_r1")
+    )
+    w2 = Window.partitionBy(group_col).orderBy(*order_by)
+    return (
+        survivors.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def pack_stream(
+    df: DataFrame,
+    token_col: str,
+    id_col: str,
+    budget: int,
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """Token-budget packing — place every document's token span in the
+    single concatenated training stream (deterministic ``id_col``
+    order): ``bin = cum_excl // budget``, ``bin_offset = cum_excl %
+    budget`` where ``cum_excl`` is the EXCLUSIVE prefix sum of
+    ``token_col``.  Documents may span bin boundaries (the standard
+    concat-then-chunk packing for fixed-context training), so the
+    assignment is a pure function of the prefix sum — no sequential
+    greedy state.
+
+    -> input columns + (cum_excl, bin, bin_offset).
+
+    Scale shape: a naive ``sum() over (order by id)`` is an Exchange
+    SinglePartition — the whole corpus through one task.  This is the
+    same two-phase scheme as the builder's dense-id assignment
+    (index/builder.assign_dense_ids): range-partition by id, LOCAL
+    cumulative sum per partition, then add per-partition token-total
+    offsets from a tiny P-row driver job.  Concatenating range
+    partitions in partition order is the global id order, so
+    ``offset[pid] + local_cum`` IS the global exclusive prefix sum.
+    """
+    from pyspark import StorageLevel
+
+    spark = df.sparkSession
+    if num_ranges is None:
+        num_ranges = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = df.repartitionByRange(num_ranges, F.col(id_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # persisted for the same reason as assign_dense_ids: the sampled
+    # range boundaries (hence _pid) must be identical between the
+    # offsets job and the output
+    local = ranged.withColumn(
+        "_lcum", F.coalesce(F.sum(token_col).over(w), F.lit(0)).cast("long")
+    ).persist(StorageLevel.DISK_ONLY)
+    sums = {
+        r["_pid"]: r["s"]
+        for r in local.groupBy("_pid")
+        .agg(F.sum(token_col).cast("long").alias("s"))
+        .collect()
+    }
+    if not sums:
+        return (
+            local.withColumn("cum_excl", F.lit(None).cast("long"))
+            .withColumn("bin", F.lit(None).cast("long"))
+            .withColumn("bin_offset", F.lit(None).cast("long"))
+            .drop("_pid", "_lcum")
+        )
+    offsets, acc = {}, 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += sums[pid]
+    off_map = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    cum = (off_map[F.col("_pid")] + F.col("_lcum")).cast("long")
+    return (
+        local.withColumn("cum_excl", cum)
+        # integer `div`, not floor(double/…): a 100 TB stream's token
+        # count can exceed 2^53 and double division would misbin
+        .withColumn("bin", F.expr(f"cum_excl div {int(budget)}").cast("long"))
+        .withColumn("bin_offset", (F.col("cum_excl") % budget).cast("long"))
+        .drop("_pid", "_lcum")
+    )

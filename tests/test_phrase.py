@@ -50,3 +50,35 @@ def test_phrase_requires_positions(spark):
                      with_positions=False)
     with pytest.raises(ValueError, match="positions"):
         phrase_search(ix, ["a", "b"])
+
+
+def test_proximity_sorted_merge_equals_bruteforce(pos_index, spark):
+    from itertools import product
+
+    from information_retrieval_system_spark.query.phrase import proximity_search
+
+    out = {r.doc_id: (r.min_dist, r.n_a, r.n_b) for r in
+           proximity_search(pos_index, "quick", "brown", k=100).collect()}
+    # brute force over the same postings
+    rows = pos_index.postings.filter(
+        pos_index.postings.term.isin("quick", "brown")).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, {})[r.term] = list(r.positions)
+    expect = {}
+    for d, ps in by_doc.items():
+        if "quick" in ps and "brown" in ps:
+            md = min(abs(x - y) for x, y in product(ps["quick"], ps["brown"]))
+            expect[d] = (md, len(ps["quick"]), len(ps["brown"]))
+    assert out == expect
+    assert out[1][0] == 1          # adjacent
+    assert out[4][0] == 3          # "quick stop the brown": pre-filter offsets 0 vs 3
+
+
+def test_proximity_rejects_same_term(pos_index):
+    import pytest as _pt
+
+    from information_retrieval_system_spark.query.phrase import proximity_search
+
+    with _pt.raises(ValueError):
+        proximity_search(pos_index, "quick", "quick")

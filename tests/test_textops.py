@@ -520,3 +520,78 @@ def test_mix_report_rollup_totals(spark):
     assert out[("<all>", "<all>")].n_docs == 4 and out[("<all>", "<all>")].n_tokens == 8
     assert out[("book", "en")].n_chars == len("eight")
     assert len(out) == 3 + 2 + 1  # leaf groups + per-source + grand total
+
+
+def test_redact_pii_counts_and_idempotence(spark):
+    rows = [
+        (1, "reach me at bob.smith+x@corp.example.com or 192.168.1.10 tel 415-555-1234"),
+        (2, "no pii here just words"),
+        (3, "two mails a@b.io c@d.org one ip 10.0.0.1"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.id: r for r in quality.redact_pii(df, "text", "doc_id").collect()}
+    assert (out[1].n_email, out[1].n_ip, out[1].n_phone) == (1, 1, 1)
+    assert out[1].redacted == "reach me at <EMAIL> or <IP> tel <PHONE>"
+    assert (out[2].n_email, out[2].n_ip, out[2].n_phone) == (0, 0, 0)
+    assert out[2].redacted == "no pii here just words"
+    assert (out[3].n_email, out[3].n_ip) == (2, 1)
+    # idempotent: placeholders contain nothing any pattern matches
+    red = spark.createDataFrame([(1, out[1].redacted)], "doc_id long, text string")
+    again = quality.redact_pii(red, "text", "doc_id").collect()[0]
+    assert again.redacted == out[1].redacted
+    assert (again.n_email, again.n_ip, again.n_phone) == (0, 0, 0)
+
+
+def test_cap_per_group_matches_naive_window_on_skew(spark):
+    from pyspark.sql import Window
+    from information_retrieval_system_spark.textops.stats import cap_per_group
+
+    # one hot group (80 rows), two small ones (3 rows each, < k)
+    rows = [(i, "hot", (i * 37) % 100) for i in range(80)]
+    rows += [(100 + i, "small_a", i) for i in range(3)]
+    rows += [(200 + i, "small_b", 5) for i in range(3)]  # full tie: id breaks
+    df = spark.createDataFrame(rows, "id long, grp string, score long")
+    order = [F.desc("score"), F.asc("id")]
+
+    got = cap_per_group(df, "grp", order, k=7, id_col="id", salt_buckets=4)
+    naive = (
+        df.withColumn("rank", F.row_number().over(
+            Window.partitionBy("grp").orderBy(*order)))
+        .filter(F.col("rank") <= 7)
+    )
+    key = lambda r: (r.grp, r.rank)
+    g = {key(r): r.id for r in got.collect()}
+    n = {key(r): r.id for r in naive.collect()}
+    assert g == n
+    assert sum(1 for (grp, _) in g if grp == "hot") == 7
+    assert sum(1 for (grp, _) in g if grp == "small_a") == 3
+
+
+def test_pack_stream_matches_naive_cumsum(spark):
+    from pyspark.sql import Window
+    from information_retrieval_system_spark.textops.stats import pack_stream
+
+    rows = [(i, (i * 13) % 97 + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, n long").repartition(7)
+
+    got = {r.id: (r.cum_excl, r.bin, r.bin_offset) for r in
+           pack_stream(df, "n", "id", budget=64, num_ranges=5).collect()}
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, -1)
+    naive = {r.id: (r.ce, r.ce // 64, r.ce % 64) for r in
+             df.withColumn("ce", F.coalesce(F.sum("n").over(w), F.lit(0))).collect()}
+    assert got == naive
+    # stream is gapless: max cum + its tokens == total
+    total = sum(n for _, n in rows)
+    last = max(rows)[0]
+    assert got[last][0] + dict(rows)[last] == total
+
+
+def test_pack_stream_partitioning_invariance(spark):
+    from information_retrieval_system_spark.textops.stats import pack_stream
+
+    rows = [(i, (i * 7) % 31 + 1) for i in range(200)]
+    a = spark.createDataFrame(rows, "id long, n long").repartition(3)
+    b = spark.createDataFrame(list(reversed(rows)), "id long, n long").coalesce(1)
+    ra = {r.id: r.cum_excl for r in pack_stream(a, "n", "id", 100, num_ranges=4).collect()}
+    rb = {r.id: r.cum_excl for r in pack_stream(b, "n", "id", 100, num_ranges=9).collect()}
+    assert ra == rb

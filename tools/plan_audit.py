@@ -89,6 +89,24 @@ def main() -> None:
             "top-1) feeding the routed batch plans; no vocabulary scan per "
             "query term, no BroadcastNestedLoopJoin, suggestion set never "
             "leaves the plan except the one routing collect."),
+        "termdict_bm25 (id-keyed serving path)": (
+            "Postings scanned WITHOUT the string term column (ReadSchema "
+            "carries term_id, not term); the query side resolves strings "
+            "to ids through the broadcast vocabulary — strings never "
+            "shuffle."),
+        "training_mix (composed curation funnel)": (
+            "Quality gate -> LSH near-dedup keep -> stratified sample -> "
+            "split as ONE lazily-planned flow: a single tokenize pass "
+            "feeds the quality columns, the dedup keep is left-anti "
+            "against the bounded LSH pair set, the sample and split are "
+            "pure column filters on top — no intermediate "
+            "materialization."),
+        "source_cap (skew-safe per-domain cap)": (
+            "Two WindowGroupLimit(Partial->Final) phases: the salted "
+            "(source, salt) pre-rank bounds any task to buckets*K rows "
+            "per group before the per-source re-rank — no hot-domain "
+            "straggler; map-side group-limit prunes before BOTH "
+            "exchanges."),
     }
 
     q = EQ.QUERIES
@@ -106,6 +124,9 @@ def main() -> None:
         "routed_batch_fusion (routed query set + fusion)": q["routed_batch_fusion"],
         "s2_bm25f_served (persisted fielded layout)": q["s2_bm25f_served"],
         "corrected_routed_fusion (correction -> routing -> fusion)": q["corrected_routed_fusion"],
+        "termdict_bm25 (id-keyed serving path)": q["termdict_bm25"],
+        "training_mix (composed curation funnel)": q["training_mix"],
+        "source_cap (skew-safe per-domain cap)": q["source_cap"],
     }
 
     out = [
