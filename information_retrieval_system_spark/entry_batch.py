@@ -583,6 +583,179 @@ LIMIT {PROX_K}
 """
 
 
+# --- best-snippet extraction (min window covering all query terms) -----------
+
+SNIPPET_TERMS = ("table", "join", "hash")
+SNIPPET_K = 50
+
+
+def q_snippet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snippet/highlight primitive over the positional index: for every
+    doc containing ALL query terms, the minimal token window covering
+    at least one occurrence of each — corpus-wide tightest snippets
+    first.  The engine enumerates candidate starts from the merged
+    position lists with pure column expressions (query/phrase.py
+    snippet_search); the oracle recomputes the same window from raw
+    text with DuckDB list lambdas — two implementations, one answer."""
+    from .query.phrase import snippet_search
+
+    from .index.builder import build_index
+
+    if sf_dir not in _POS_INDEX_CACHE:
+        docs = EQ.load_documents(spark, sf_dir)
+        _POS_INDEX_CACHE[sf_dir] = build_index(
+            docs, EQ.NOSTEM_CFG, doc_col="doc_id", text_col="text",
+            with_positions=True,
+        )
+    ix = _POS_INDEX_CACHE[sf_dir]
+    return snippet_search(ix, list(SNIPPET_TERMS), k=SNIPPET_K)
+
+
+SQL_SNIPPET_TOPK = f"""
+WITH tokarr AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(regexp_replace(regexp_replace(text,
+             '[^\\p{{L}}\\p{{Nd}}]+', ' ', 'g'), '[0-9]', ' ', 'g'))), ' +'),
+             t -> t <> '') AS toks
+  FROM documents
+),
+tokpos AS (
+  SELECT doc_id, pos, tok
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(len(toks)),
+                      i -> {{'pos': i, 'tok': toks[i + 1]}}), recursive := true)
+        FROM tokarr)
+),
+plists AS (
+  SELECT doc_id, tok AS term, list(pos ORDER BY pos) AS ps
+  FROM tokpos GROUP BY doc_id, tok
+),
+trio AS (
+  SELECT a.doc_id, a.ps AS pa, b.ps AS pb, c.ps AS pc
+  FROM plists a JOIN plists b USING (doc_id) JOIN plists c USING (doc_id)
+  WHERE a.term = '{SNIPPET_TERMS[0]}' AND b.term = '{SNIPPET_TERMS[1]}'
+    AND c.term = '{SNIPPET_TERMS[2]}'
+),
+cands AS (
+  SELECT doc_id, s,
+         list_min(list_filter(pa, p -> p >= s)) AS ea,
+         list_min(list_filter(pb, p -> p >= s)) AS eb,
+         list_min(list_filter(pc, p -> p >= s)) AS ec
+  FROM (SELECT doc_id, pa, pb, pc,
+               unnest(list_sort(pa || pb || pc)) AS s FROM trio)
+),
+valid AS (
+  SELECT doc_id, s AS win_start, greatest(ea, eb, ec) AS win_end,
+         greatest(ea, eb, ec) - s AS width
+  FROM cands
+  WHERE ea IS NOT NULL AND eb IS NOT NULL AND ec IS NOT NULL
+),
+best AS (
+  SELECT doc_id, win_start, win_end, width,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY width ASC, win_start ASC) AS rn
+  FROM valid
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(win_start AS BIGINT) AS win_start,
+       CAST(win_end AS BIGINT) AS win_end,
+       CAST(width AS BIGINT) AS width
+FROM best WHERE rn = 1
+ORDER BY width ASC, doc_id ASC
+LIMIT {SNIPPET_K}
+"""
+
+
+# --- retrieve-then-rerank lifecycle -------------------------------------------
+
+RERANK_N = 100   # lexical candidate pool
+RERANK_K = 15    # final semantic top-k
+
+
+def q_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieve -> rerank: BM25 produces a cheap lexical
+    candidate pool (top-{RERANK_N}), then an embedding-cosine pass
+    reranks JUST that pool — the standard modern serving shape (cheap
+    recall stage over the inverted index, expensive precision stage
+    over k vectors).  At scale the rerank join touches RERANK_N rows
+    per query regardless of corpus size: the candidate pool is
+    broadcast against the (bucketable) embeddings table, never the
+    reverse.  Query vector = embedding of vec_id 0, the registry's
+    standard probe (entry_textops._query_vec)."""
+    import math as _math
+
+    from . import entry_textops as ET
+    from .textops.similarity import dot_expr, norm_expr
+
+    ix = EQ.get_index(spark, sf_dir)
+    cand = scoring.bm25_search(ix, EQ.query_terms_df(spark), k=RERANK_N,
+                               cfg=EQ.NOSTEM_CFG)
+    emb = ET._emb(spark, sf_dir)
+    qv = ET._query_vec(spark, sf_dir)
+    q = F.array(*[F.lit(float(v)) for v in qv])
+    e = F.col("embedding").cast("array<double>")
+    qn = F.lit(float(_math.sqrt(sum(v * v for v in qv))))
+    out = (
+        F.broadcast(cand).join(emb, cand["doc_id"] == emb["vec_id"], "inner")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.round("score", 4).alias("bm25_score"),
+            (dot_expr(e, q) / (norm_expr(e) * qn)).alias("_c"),
+        )
+        .orderBy(F.desc("_c"), F.asc("doc_id"))
+        .limit(RERANK_K)
+        .select("doc_id", "bm25_score", F.round("_c", 4).alias("cosine"))
+    )
+    return out
+
+
+def _sql_rerank_topk() -> str:
+    terms_sql = EQ._sql_terms_list()
+    return f"""
+WITH {EQ.TOKS_CTE},
+post AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM post GROUP BY 1),
+dl AS (SELECT d.doc_id, CAST(coalesce(t.dl, 0) AS DOUBLE) AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1) t USING (doc_id)),
+stats AS (SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n,
+                 CAST((SELECT count(*) FROM toks) // (SELECT count(*) FROM documents) AS DOUBLE) AS avgdl),
+q AS (SELECT unnest({terms_sql}) AS term),
+scored AS (
+  SELECT p.doc_id,
+         (ln((s.n - f.df + 0.5) / (f.df + 0.5)) / ln(2))
+           * p.tf * ({EQ.K1} + 1)
+           / (p.tf + {EQ.K1} * (1 - {EQ.B} + {EQ.B} * d.dl / s.avgdl)) AS ts
+  FROM post p
+  JOIN q USING (term)
+  JOIN dft f USING (term)
+  JOIN dl d USING (doc_id)
+  CROSS JOIN stats s
+),
+cand AS (
+  SELECT doc_id, sum(ts) AS bm25
+  FROM scored GROUP BY doc_id
+  ORDER BY sum(ts) DESC, doc_id ASC
+  LIMIT {RERANK_N}
+),
+qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0)
+SELECT CAST(c.doc_id AS BIGINT) AS doc_id,
+       round(c.bm25, 4) AS bm25_score,
+       round(list_dot_product(CAST(e.embedding AS DOUBLE[]), qv.v)
+             / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(qv.v, qv.v))), 4) AS cosine
+FROM cand c
+JOIN embeddings e ON e.vec_id = c.doc_id
+CROSS JOIN qv
+ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]), qv.v)
+         / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                  CAST(e.embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(qv.v, qv.v))) DESC,
+         c.doc_id ASC
+LIMIT {RERANK_K}
+"""
+
+
 # --- spelling correction IN the query lifecycle ------------------------------
 
 #: a fully-typo'd query: substitution, adjacent transposition, insertion.
@@ -878,6 +1051,8 @@ BATCH_QUERIES_REG = {
     "prefix_suggest": q_prefix_suggest,
     "phrase_search": q_phrase_search,
     "proximity_topk": q_proximity_topk,
+    "snippet_topk": q_snippet_topk,
+    "rerank_topk": q_rerank_topk,
     "batch_bm25": q_batch_bm25,
     "field_term_stats": q_field_term_stats,
     "expanded_vsm": q_expanded_bm25,
@@ -898,6 +1073,8 @@ BATCH_ORACLES = {
     "prefix_suggest": _sql_prefix_suggest(),
     "phrase_search": SQL_PHRASE_SEARCH,
     "proximity_topk": SQL_PROXIMITY_TOPK,
+    "snippet_topk": SQL_SNIPPET_TOPK,
+    "rerank_topk": _sql_rerank_topk(),
     "batch_bm25": SQL_BATCH_BM25,
     "field_term_stats": SQL_FIELD_TERM_STATS,
     "expanded_vsm": SQL_EXPANDED_BM25,

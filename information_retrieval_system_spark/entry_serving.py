@@ -295,7 +295,66 @@ def q_expired_snapshot_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
                            F.col("cf").cast("long").alias("cf"))
 
 
+# --- quantized impact layout ---------------------------------------------------
+
+IMPACT_BITS = 8
+
+
+def q_impact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k over the quantized impact layout (index/impacts.py):
+    per-posting BM25 partials (non-negative Lucene-idf variant —
+    quantization needs a non-negative score; see the module docstring)
+    precomputed at build, quantized to {IMPACT_BITS}-bit ints against the
+    global max, served as a pure int64-sum plan.  The oracle implements
+    the identical quantizer in SQL."""
+    from .index.impacts import impact_topk, quantized_impacts
+
+    key = f"impacts:{sf_dir}"
+    if key not in _SERVE_CACHE:
+        ix = EQ.get_index(spark, sf_dir)
+        impacts, max_s = quantized_impacts(ix, EQ.NOSTEM_CFG, bits=IMPACT_BITS)
+        _SERVE_CACHE[key] = impacts.cache()
+    return impact_topk(_SERVE_CACHE[key], EQ.query_terms_df(spark), k=EQ.TOPK)
+
+
+def _sql_impact_topk() -> str:
+    scale = 2 ** IMPACT_BITS
+    return f"""
+WITH {EQ.TOKS_CTE},
+post AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM post GROUP BY 1),
+dl AS (SELECT d.doc_id, CAST(coalesce(t.dl, 0) AS DOUBLE) AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1) t USING (doc_id)),
+stats AS (SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n,
+                 CAST((SELECT count(*) FROM toks) // (SELECT count(*) FROM documents) AS DOUBLE) AS avgdl),
+scored AS (
+  SELECT p.doc_id, p.term,
+         (ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5)) / ln(2))
+           * p.tf * ({EQ.K1} + 1)
+           / (p.tf + {EQ.K1} * (1 - {EQ.B} + {EQ.B} * d.dl / s.avgdl)) AS ts
+  FROM post p
+  JOIN dft f USING (term)
+  JOIN dl d USING (doc_id)
+  CROSS JOIN stats s
+),
+maxs AS (SELECT max(ts) AS m FROM scored),
+impacts AS (
+  SELECT doc_id, term,
+         least({scale - 1}, CAST(floor(ts / maxs.m * {scale}) AS BIGINT)) AS impact
+  FROM scored CROSS JOIN maxs
+),
+q AS (SELECT unnest({EQ._sql_terms_list()}) AS term)
+SELECT CAST(i.doc_id AS BIGINT) AS doc_id,
+       CAST(sum(i.impact) AS BIGINT) AS impact_score
+FROM impacts i JOIN q USING (term)
+GROUP BY i.doc_id
+ORDER BY sum(i.impact) DESC, i.doc_id ASC
+LIMIT {EQ.TOPK}
+"""
+
+
 SERVING_QUERIES = {
+    "impact_topk": q_impact_topk,
     "expired_snapshot_term_df": q_expired_snapshot_term_df,
     "bm25_served": q_bm25_served,
     "wand_served": q_wand_served,
@@ -307,6 +366,7 @@ SERVING_QUERIES = {
 }
 
 SERVING_ORACLES = {
+    "impact_topk": _sql_impact_topk(),
     "expired_snapshot_term_df": EQ.SQL_TERM_DF,
     "bm25_served": EQ.SQL_BM25_TOPK,
     "wand_served": EQ.SQL_BM25_TOPK,

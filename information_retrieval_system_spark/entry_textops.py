@@ -1391,10 +1391,100 @@ FROM c
 """
 
 
+# --- paragraph-level exact dedup ----------------------------------------------
+
+#: The synthetic corpus has no newlines, so the paragraph table is derived
+#: by the GATE (not the operator): each doc's token array is chunked into
+#: fixed 8-token paragraphs, and two boilerplate paragraphs are injected
+#: at deterministic doc_id-derived sites so corpus-wide repeats exist —
+#: the footer/header shape paragraph dedup is for.  Both sides construct
+#: the identical table; the operator itself takes ANY (doc, idx, text)
+#: paragraph table.
+PARA_TOKENS = 8
+PARA_BOILER_A = "subscribe to our newsletter for daily updates"
+PARA_BOILER_B = "copyright example corp all rights reserved"
+
+
+def _paragraphized(docs: DataFrame) -> DataFrame:
+    from .analysis.analyzer import tokens_array_expr
+
+    toks = tokens_array_expr(F.col("text"))
+    n_chunks = F.ceil(F.size(toks) / F.lit(PARA_TOKENS)).cast("int")
+    chunks = F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(
+                F.slice(toks, i * PARA_TOKENS + 1, PARA_TOKENS), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    d = F.col("doc_id")
+    exploded = docs.select(
+        "doc_id", F.posexplode(chunks).alias("para_idx", "_chunk"))
+    para = (
+        F.when((d % 5 == 0) & (F.col("para_idx") == 0), F.lit(PARA_BOILER_A))
+        .when((d % 3 == 0) & (F.col("para_idx") == 1), F.lit(PARA_BOILER_B))
+        .otherwise(F.col("_chunk"))
+    )
+    return exploded.select(
+        "doc_id", F.col("para_idx").cast("long").alias("para_idx"),
+        para.alias("para_text"))
+
+
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-granularity exact dedup (dedup.paragraph_dedup_stats):
+    per-doc count + ratio of paragraphs whose exact text already
+    occurred earlier in the corpus — the boilerplate signal doc-level
+    dedup cannot see.  Engine = one partial-aggregable shuffle on
+    sha256(paragraph) + join-back; oracle = the naive per-paragraph
+    window.  Identical answers under the same (doc, idx) total order."""
+    out = dedup.paragraph_dedup_stats(_paragraphized(_docs(spark, sf_dir)))
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      "n_paras", "n_dup_paras", "dup_ratio")
+
+
+SQL_PARAGRAPH_DEDUP = f"""
+WITH {TOKARR_CTE},
+chunks AS (
+  SELECT doc_id,
+         list_transform(range(CAST(ceil(len(toks) / {PARA_TOKENS}.0) AS BIGINT)),
+                        i -> array_to_string(list_slice(toks, i * {PARA_TOKENS} + 1,
+                                                        i * {PARA_TOKENS} + {PARA_TOKENS}), ' ')) AS cs
+  FROM tokarr
+),
+paras0 AS (
+  SELECT doc_id, pos AS para_idx, para
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(len(cs)),
+                      i -> {{'pos': i, 'para': cs[i + 1]}}), recursive := true)
+        FROM chunks)
+),
+paras AS (
+  SELECT doc_id, para_idx,
+         CASE WHEN doc_id % 5 = 0 AND para_idx = 0 THEN '{PARA_BOILER_A}'
+              WHEN doc_id % 3 = 0 AND para_idx = 1 THEN '{PARA_BOILER_B}'
+              ELSE para END AS para_text
+  FROM paras0
+),
+marked AS (
+  SELECT doc_id, para_idx,
+         row_number() OVER (PARTITION BY para_text
+                            ORDER BY doc_id, para_idx) > 1 AS is_dup
+  FROM paras
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_paras,
+       CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_paras,
+       round(CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS dup_ratio
+FROM marked GROUP BY doc_id
+"""
+
+
 TEXTOPS_QUERIES = {
     "pii_redact": q_pii_redact,
     "source_cap": q_source_cap,
     "token_pack": q_token_pack,
+    "paragraph_dedup": q_paragraph_dedup,
     "tfidf_keywords": q_tfidf_keywords,
     "repetition_ratio": q_repetition_ratio,
     "quality_sampled": q_quality_sampled,
@@ -1432,6 +1522,7 @@ TEXTOPS_ORACLES = {
     "pii_redact": _sql_pii_redact(),
     "source_cap": SQL_SOURCE_CAP,
     "token_pack": SQL_TOKEN_PACK,
+    "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
     "tfidf_keywords": _sql_tfidf_keywords(),
     "repetition_ratio": SQL_REPETITION_RATIO,
     "quality_sampled": _sql_quality_sampled(),

@@ -123,3 +123,75 @@ def proximity_search(
         )
     )
     return out.orderBy(F.asc("min_dist"), F.asc("doc_id")).limit(k)
+
+def snippet_search(
+    index: IndexTables,
+    terms: list[str],
+    k: int = 10,
+) -> DataFrame:
+    """Best-snippet extraction: for every doc containing ALL query
+    terms, the minimal token window [win_start, win_end] covering at
+    least one occurrence of each term — the classic "minimum window
+    containing all query terms" snippet/highlight primitive (Lucene's
+    unified highlighter computes the same window from the positional
+    index; the reference stores per-posting positions for exactly this
+    family of operators, Indexer.java posting layout).
+
+    -> (doc_id, win_start, win_end, width) ordered by width ASC (the
+    tightest snippet in the corpus first), doc_id ASC, limit k.
+
+    Algorithm (pure column expressions, no Python): the optimal
+    window's LEFT edge is always an occurrence of some query term, so
+    enumerate every occurrence s in the merged position list and pair
+    it with the minimal end(s) = max over terms t of min{p in pos_t :
+    p >= s}; a start whose suffix lacks some term yields NULL and is
+    filtered.  Best = lexicographic min over (width, start) structs —
+    deterministic.  Per-doc cost is O(L^2) in L = total query-term
+    occurrences in that one doc (tiny: L counts QUERY-term hits, not
+    doc length); at serving scale this runs on the top-k candidate
+    docs only, so the bound is k * L^2, independent of corpus size.
+    """
+    if not terms:
+        spark = index.postings.sparkSession
+        return spark.createDataFrame(
+            [], "doc_id long, win_start long, win_end long, width long")
+    if "positions" not in index.postings.columns:
+        raise ValueError("index was built without positions (with_positions=False)")
+    if len(set(terms)) != len(terms):
+        raise ValueError("snippet terms must be distinct")
+
+    base = (
+        index.postings.filter(F.col("term") == terms[0])
+        .select("doc_id", F.col("positions").alias("_p0"))
+    )
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = index.postings.filter(F.col("term") == t).select(
+            "doc_id", F.col("positions").alias(f"_p{i}"))
+        base = base.join(nxt, "doc_id", "inner")
+
+    pcols = ", ".join(f"_p{i}" for i in range(len(terms)))
+    ends = ", ".join(
+        f"array_min(filter(_p{i}, p -> p >= s))" for i in range(len(terms)))
+    # candidate struct per start s: (width, start, end); a start whose
+    # suffix lacks some term yields a NULL min-end — marked as NULL
+    # width inside the transform and dropped by the filter
+    cand = (
+        f"filter(transform(array_sort(concat({pcols})),"
+        f" s -> named_struct("
+        f"   'width', CASE WHEN {' OR '.join(f'array_min(filter(_p{i}, p -> p >= s)) IS NULL' for i in range(len(terms)))}"
+        f"            THEN CAST(NULL AS BIGINT)"
+        f"            ELSE array_max(array({ends})) - s END,"
+        f"   'win_start', s,"
+        f"   'win_end', array_max(array({ends})))),"
+        f" c -> c.width IS NOT NULL)"
+    )
+    out = (
+        base.withColumn("_best", F.expr(f"array_min({cand})"))
+        .select(
+            "doc_id",
+            F.col("_best.win_start").cast("long").alias("win_start"),
+            F.col("_best.win_end").cast("long").alias("win_end"),
+            F.col("_best.width").cast("long").alias("width"),
+        )
+    )
+    return out.orderBy(F.asc("width"), F.asc("doc_id")).limit(k)

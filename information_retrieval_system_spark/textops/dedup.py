@@ -560,3 +560,69 @@ def connected_components(
             "the input is pathological; raise max_iters explicitly)"
         )
     return labels
+
+
+def paragraph_dedup(
+    paras: DataFrame,
+    id_col: str = "doc_id",
+    idx_col: str = "para_idx",
+    text_col: str = "para_text",
+) -> DataFrame:
+    """Paragraph-level exact dedup over an exploded (doc, para_idx,
+    para_text) table: mark every paragraph whose exact text already
+    occurred at a smaller (doc, para_idx) — the first occurrence
+    corpus-wide is canonical, every later copy is a duplicate.  This is
+    the paragraph-granularity form of exact substring dedup used for
+    LLM training corpora (boilerplate headers/footers/navigation repeat
+    across millions of pages while the surrounding docs are unique, so
+    doc-level dedup never catches them; cf. Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better").
+
+    -> input columns + ``is_dup boolean``.
+
+    Plan: ONE shuffle on sha256(para_text) computing the canonical
+    (min struct(doc, idx)) per distinct paragraph — partial-aggregable,
+    so a boilerplate paragraph repeated on 10^9 pages still map-side
+    combines to one row per task before the exchange — then a
+    broadcast-eligible join back.  No windows over the full corpus, no
+    per-group task (the skewed-key failure mode of rank-based dedup).
+    """
+    pid = F.sha2(F.col(text_col).cast("binary"), 256)
+    canon = (
+        paras.groupBy(pid.alias("_pid"))
+        .agg(F.min(F.struct(F.col(id_col), F.col(idx_col))).alias("_first"))
+    )
+    out = (
+        paras.join(canon, pid == F.col("_pid"), "inner")
+        .withColumn(
+            "is_dup",
+            ~((F.col(id_col) == F.col(f"_first.{id_col}"))
+              & (F.col(idx_col) == F.col(f"_first.{idx_col}"))),
+        )
+        .drop("_pid", "_first")
+    )
+    return out
+
+
+def paragraph_dedup_stats(
+    paras: DataFrame,
+    id_col: str = "doc_id",
+    idx_col: str = "para_idx",
+    text_col: str = "para_text",
+) -> DataFrame:
+    """Per-doc paragraph-duplication profile from paragraph_dedup:
+    -> (id_col, n_paras, n_dup_paras, dup_ratio) where dup_ratio is
+    rounded to 4 places.  A doc made mostly of corpus-wide boilerplate
+    scores high and is a removal candidate for a curation pipeline."""
+    marked = paragraph_dedup(paras, id_col, idx_col, text_col)
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_paras"),
+            F.sum(F.col("is_dup").cast("long")).cast("long").alias("n_dup_paras"),
+        )
+        .withColumn(
+            "dup_ratio",
+            F.round(F.col("n_dup_paras") / F.col("n_paras"), 4),
+        )
+    )

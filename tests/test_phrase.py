@@ -82,3 +82,58 @@ def test_proximity_rejects_same_term(pos_index):
 
     with _pt.raises(ValueError):
         proximity_search(pos_index, "quick", "quick")
+
+
+def test_snippet_min_window_equals_bruteforce(spark):
+    """Engine's candidate-start expression vs a brute-force min-window
+    scan over every (start, end) token pair."""
+    from information_retrieval_system_spark.query.phrase import snippet_search
+
+    rows = [
+        (1, "alpha beta gamma alpha delta beta"),   # tight window at the end
+        (2, "alpha zzz zzz zzz beta zzz gamma"),    # wide window, one each
+        (3, "beta gamma alpha"),                    # reversed order still covers
+        (4, "alpha beta alpha beta"),               # gamma missing -> excluded
+        (5, "gamma beta alpha gamma beta alpha"),   # repeated tight windows
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cfg = EngineConfig(use_stemmer=False, use_stopwords=False)
+    ix = build_index(df, cfg, doc_col="doc_id", text_col="text",
+                     with_positions=True)
+    terms = ["alpha", "beta", "gamma"]
+    got = {r.doc_id: (r.win_start, r.win_end, r.width)
+           for r in snippet_search(ix, terms, k=10).collect()}
+
+    # brute force: all (start, end) windows, pick min (width, start)
+    expect = {}
+    for doc_id, text in rows:
+        toks = text.split()
+        best = None
+        for s in range(len(toks)):
+            for e in range(s, len(toks)):
+                win = set(toks[s:e + 1])
+                if all(t in win for t in terms):
+                    c = (e - s, s, e)
+                    if best is None or c < best:
+                        best = c
+                    break
+        if best is not None:
+            expect[doc_id] = (best[1], best[2], best[0])
+    assert got == expect
+    assert 4 not in got
+
+
+def test_snippet_validation(spark):
+    from information_retrieval_system_spark.query.phrase import snippet_search
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    cfg = EngineConfig(use_stemmer=False, use_stopwords=False)
+    no_pos = build_index(df, cfg, doc_col="doc_id", text_col="text",
+                         with_positions=False)
+    with pytest.raises(ValueError, match="positions"):
+        snippet_search(no_pos, ["a", "b"])
+    ix = build_index(df, cfg, doc_col="doc_id", text_col="text",
+                     with_positions=True)
+    with pytest.raises(ValueError, match="distinct"):
+        snippet_search(ix, ["a", "a"])
+    assert snippet_search(ix, [], k=5).count() == 0

@@ -595,3 +595,38 @@ def test_pack_stream_partitioning_invariance(spark):
     ra = {r.id: r.cum_excl for r in pack_stream(a, "n", "id", 100, num_ranges=4).collect()}
     rb = {r.id: r.cum_excl for r in pack_stream(b, "n", "id", 100, num_ranges=9).collect()}
     assert ra == rb
+
+
+def test_paragraph_dedup_marks_later_copies(spark):
+    from information_retrieval_system_spark.textops.dedup import (
+        paragraph_dedup, paragraph_dedup_stats)
+
+    rows = [
+        (1, 0, "alpha beta"), (1, 1, "boiler"),
+        (2, 0, "boiler"), (2, 1, "gamma delta"), (2, 2, "boiler"),
+        (3, 0, "unique text"),
+    ]
+    paras = spark.createDataFrame(
+        rows, "doc_id long, para_idx long, para_text string")
+    marked = {(r.doc_id, r.para_idx): r.is_dup
+              for r in paragraph_dedup(paras).collect()}
+    # first occurrence of "boiler" is (1,1); (2,0) and (2,2) are dups
+    assert marked == {(1, 0): False, (1, 1): False,
+                      (2, 0): True, (2, 1): False, (2, 2): True,
+                      (3, 0): False}
+    stats = {r.doc_id: (r.n_paras, r.n_dup_paras, r.dup_ratio)
+             for r in paragraph_dedup_stats(paras).collect()}
+    assert stats[1] == (2, 0, 0.0)
+    assert stats[2] == (3, 2, 0.6667)
+    assert stats[3] == (1, 0, 0.0)
+
+
+def test_paragraph_dedup_within_doc_order(spark):
+    from information_retrieval_system_spark.textops.dedup import paragraph_dedup
+
+    # same doc, repeated paragraph: the SMALLER para_idx is canonical
+    paras = spark.createDataFrame(
+        [(5, 0, "x"), (5, 1, "x"), (5, 2, "x")],
+        "doc_id long, para_idx long, para_text string")
+    marked = {r.para_idx: r.is_dup for r in paragraph_dedup(paras).collect()}
+    assert marked == {0: False, 1: True, 2: True}
