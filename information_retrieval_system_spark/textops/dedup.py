@@ -85,22 +85,35 @@ def shingle_table(df: DataFrame, text_col: str, id_col: str, n: int,
     """-> (id, shingle) rows; DISTINCT by default (set semantics for
     Jaccard sizes/intersections).  Pass ``distinct=False`` for consumers
     that are duplicate-insensitive — min-hashing is (min over a multiset
-    == min over its set), and skipping the distinct saves a full
-    corpus-of-shingles shuffle."""
-    out = df.select(F.col(id_col).alias("id"),
-                    F.explode(shingles_expr(F.col(text_col), n)).alias("shingle"))
-    return out.distinct() if distinct else out
+    == min over its set).
+
+    The distinct is ``array_distinct`` INSIDE each doc's shingle array
+    before the explode — (id, shingle) uniqueness is a PER-DOC property,
+    so paying a corpus-wide ``.distinct()`` exchange for it (the round-5
+    plan) moved every shingle of every doc through a shuffle to dedup
+    rows that only ever collide within one row's array.  Map-side only
+    now."""
+    arr = shingles_expr(F.col(text_col), n)
+    if distinct:
+        arr = F.array_distinct(arr)
+    return df.select(F.col(id_col).alias("id"),
+                     F.explode(arr).alias("shingle"))
 
 
 def _capped_shingles(sh: DataFrame, max_shingle_df: int | None) -> DataFrame:
     """Drop shingles whose document frequency exceeds the cap (skew
-    guard before any pair-generating self-join)."""
+    guard before any pair-generating self-join).  Filters by anti-join
+    on the OVER-cap set — the small Zipf head — instead of semi-join on
+    the huge under-cap tail: the anti side is broadcastable, so the big
+    table never re-shuffles just to apply the cap."""
     if max_shingle_df is None:
         return sh
-    keep = sh.groupBy("shingle").agg(F.count("*").alias("sdf")).filter(
-        F.col("sdf") <= max_shingle_df
+    over_cap = (
+        sh.groupBy("shingle").agg(F.count("*").alias("sdf"))
+        .filter(F.col("sdf") > max_shingle_df)
+        .select("shingle")
     )
-    return sh.join(keep.select("shingle"), "shingle", "leftsemi")
+    return sh.join(over_cap, "shingle", "left_anti")
 
 
 def dropped_shingles(sh: DataFrame, max_shingle_df: int) -> DataFrame:
@@ -187,9 +200,41 @@ def jaccard_for_candidate_pairs(
     corpus-wide shingle self-join.  Cost is linear in
     Σ_candidates |shingles(id_a)|: fan each pair out by id_a's shingles,
     keep those also present for id_b via an equi-join on (id_b, shingle).
-    This is the verify stage LSH exists to enable."""
-    sh_p = _capped_shingles(sh, max_shingle_df)
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    This is the verify stage LSH exists to enable.
+
+    The corpus-sized shingle table is cut down to CANDIDATE docs before
+    anything else touches it (semi-join on the candidate id set — tiny
+    relative to the corpus by LSH's design, so AQE broadcasts it): sizes,
+    the df-cap filter, and both intersection probes then operate on
+    |candidate docs| × |shingles/doc| rows, not |corpus| × |shingles/doc|.
+    The one remaining corpus-wide aggregation is the df-cap's OVER-cap
+    shingle set (global df is a corpus property), which is the small Zipf
+    head by construction and anti-joins against the restricted table.
+    Measured at 600k docs / 36k candidates: 374 s -> 120 s standalone
+    (the remainder is the df-cap's one corpus pass; pass a materialized
+    ``sh`` to eliminate it — see minhash_lsh_dedup's ``shingles``)."""
+    ids = (
+        cand.select(F.col("id_a").alias("id"))
+        .unionByName(cand.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    # the restricted table feeds THREE consumers (sizes + both
+    # intersection probes); the explicit repartition pins a shuffle
+    # boundary that exchange-reuse dedups, so the scan+tokenize+shingle
+    # work upstream runs ONCE instead of once per consumer (measured:
+    # 3 redundant corpus passes without it) — plan-native, no cache
+    # side effects to leak
+    sh_c = sh.join(ids, "id", "leftsemi").repartition("id")
+    sizes = sh_c.groupBy("id").agg(F.count("*").alias("sz"))
+    if max_shingle_df is not None:
+        over_cap = (
+            sh.groupBy("shingle").agg(F.count("*").alias("sdf"))
+            .filter(F.col("sdf") > max_shingle_df)
+            .select("shingle")
+        )
+        sh_p = sh_c.join(over_cap, "shingle", "left_anti")
+    else:
+        sh_p = sh_c
     a = sh_p.select(F.col("id").alias("id_a"), "shingle")
     b = sh_p.select(F.col("id").alias("id_b"), "shingle")
     inter = (
@@ -252,13 +297,29 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 16,
     seed: int = 42,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """-> (id, mh_0..mh_{H-1}): one groupBy with H min() aggregates.
     The shingle stream is NOT deduplicated first — min() is
     duplicate-insensitive, so the plan is explode -> one partial+final
-    aggregation, no distinct shuffle."""
-    sh = shingle_table(df, text_col, id_col, n, distinct=False).withColumn(
-        "h", h60(F.col("shingle")))
+    aggregation, no distinct shuffle.
+
+    Why explode+groupBy and not row-local ``array_min(transform(...))``
+    (which looks shuffle-free): a doc's shingles stay in one task, so
+    the partial aggregation collapses each doc to ONE row before the
+    exchange — the "shuffle" moves |docs| combined rows, not
+    |docs|×|shingles|, and is negligible.  The row-local variant was
+    tried (round 6) and measured 8× SLOWER: CollapseProject inlines the
+    shared per-shingle h60 array into each of the H signature
+    expressions, recomputing the md5 H times per shingle.  The explode
+    plan computes h60 exactly once per shingle.
+
+    ``shingles``: optional pre-built (id, shingle) table to read instead
+    of re-tokenizing (distinct or not — min() is insensitive); see
+    :func:`minhash_lsh_dedup`."""
+    sh = (shingles if shingles is not None
+          else shingle_table(df, text_col, id_col, n, distinct=False)
+          ).withColumn("h", h60(F.col("shingle")))
     params = minhash_params(num_hashes, seed)
     aggs = [
         F.min(minhash_expr(F.col("h"), a, b)).alias(f"mh_{i}")
@@ -281,7 +342,18 @@ def lsh_candidate_pairs(
     members than the cap before the self-join — a degenerate bucket of B
     near-identical docs would otherwise emit B²/2 pairs.  Dropped-bucket
     members are exact-dedup territory, not LSH's job; audit with
-    :func:`oversized_buckets`."""
+    :func:`oversized_buckets`.
+
+    The signature table is EAGERLY localCheckpoint-ed first: the band
+    loop references it 2×bands times (bucket-size gate + banded rows per
+    band), and without a materialization barrier every reference inlines
+    the whole upstream plan — measured at 600k docs, the un-truncated
+    funnel plan held ~450 copies of the corpus scan (runtime exchange
+    reuse deduped only some, and planning itself goes superlinear in
+    plan size).  Signatures are |docs| × (H+1) int64s — tiny relative to
+    the corpus — so the barrier costs one small write, same pattern as
+    connected_components' per-round checkpoint."""
+    signatures = signatures.localCheckpoint(eager=True)
     pair_frames = []
     for b in range(bands):
         banded = signatures.select(F.col("id"), _band_key(b, rows_per_band))
@@ -336,6 +408,7 @@ def minhash_lsh_dedup(
     max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
     log_drops: bool = False,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Full pipeline: signatures -> band candidates (bucket-capped) ->
     exact-Jaccard verify RESTRICTED TO THE CANDIDATES ->
@@ -345,11 +418,29 @@ def minhash_lsh_dedup(
     (that would be the all-pairs explosion LSH exists to avoid); it fans
     only the LSH candidate pairs out by their shingles
     (:func:`jaccard_for_candidate_pairs`).  ``log_drops`` runs the two
-    observability queries (extra jobs — off on the hot path)."""
+    observability queries (extra jobs — off on the hot path).
+
+    ``shingles``: optional PRE-BUILT distinct shingle table
+    (:func:`shingle_table` with ``distinct=True``).  Tokenize+shingle
+    is the pipeline's dominant CPU (measured ~52 s/pass at 600k docs)
+    and the plan references it from the signature, df-cap, and verify
+    subtrees across MULTIPLE actions — pass it materialized
+    (``shingle_table(...).localCheckpoint(eager=True)``) so every
+    consumer reads rows instead of re-tokenizing the corpus; see
+    bench.py's curation funnel (600k docs: 1559 s -> 167 s end-to-end
+    with this plus the internal signature/candidate barriers).  This
+    function itself never caches what it builds."""
     rows_per_band = num_hashes // bands
-    sh = shingle_table(df, text_col, id_col, n)
-    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes, seed)
+    sh = shingles if shingles is not None else shingle_table(df, text_col, id_col, n)
+    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes, seed,
+                              shingles=sh)
+    # candidate pairs are referenced twice downstream (the id
+    # restriction set + the intersection probe) and are tiny; the
+    # barrier stops the band self-joins from re-running per reference
+    # (lsh_candidate_pairs checkpoints the signatures for the same
+    # reason — see its docstring for the measured plan blow-up)
     cand = lsh_candidate_pairs(sigs, bands, rows_per_band, max_bucket_size)
+    cand = cand.localCheckpoint(eager=True)
     if log_drops:
         if max_shingle_df is not None:
             _warn_dropped_shingles("minhash_lsh_dedup", sh, max_shingle_df)
@@ -425,7 +516,11 @@ def simhash_near_dup_pairs(
     n_bands = max_hamming + 1
     if bits < n_bands:
         raise ValueError(f"need bits >= max_hamming+1 bands ({n_bands}), got {bits}")
-    sh = simhash(df, text_col, id_col, bits)
+    # barrier: the band loop references the fingerprint table 3× per
+    # band (bucket gate + both join sides) — without it each reference
+    # inlines the full simhash aggregation plan (same plan blow-up as
+    # lsh_candidate_pairs; fingerprints are |docs| × 2 int64s, tiny)
+    sh = simhash(df, text_col, id_col, bits).localCheckpoint(eager=True)
     frames = []
     for shift, width in _simhash_band_bounds(bits, n_bands):
         mask = (1 << width) - 1
@@ -511,7 +606,18 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .cache()
     )
-    labels.count()
+    if labels.count() == 0:
+        # empty pair graph (a clean corpus): trivially converged —
+        # skip the iteration machinery (each round costs joins + an
+        # eager localCheckpoint + a count even on zero rows).  The
+        # checkpoint TRUNCATES lineage like the loop would have:
+        # without it, downstream consumers would recompute the entire
+        # (possibly expensive) pair pipeline just to rediscover
+        # emptiness.
+        out = labels.localCheckpoint(eager=True)
+        und.unpersist()
+        labels.unpersist()
+        return out
     converged = False
     for _ in range(max_iters):
         neigh = (
