@@ -1391,6 +1391,37 @@ FROM c
 """
 
 
+# --- unigram-LM quality proxy ---------------------------------------------------
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean unigram log-probability under the corpus's own MLE
+    model (quality.unigram_logprob) — the model-free analog of the
+    CCNet LM-perplexity quality filter.  One explode feeds both the
+    model aggregation and the scoring join; no driver actions."""
+    out = quality.unigram_logprob(_docs(spark, sf_dir), "text", "doc_id")
+    return out.select(F.col("id").cast("long").alias("doc_id"),
+                      "n_tokens", "mean_logprob")
+
+
+SQL_UNIGRAM_LOGPROB = """
+WITH raw AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(lower(regexp_replace(regexp_replace(text,
+             '[^\\p{L}\\p{Nd}]+', ' ', 'g'), '[0-9]', ' ', 'g'))), ' +'),
+             t -> t <> '')) AS tok
+  FROM documents
+),
+model AS (SELECT tok, count(*) AS cf FROM raw GROUP BY tok),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM raw)
+SELECT CAST(r.doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(ln(m.cf / tot.t)), 4) AS mean_logprob
+FROM raw r JOIN model m USING (tok) CROSS JOIN tot
+GROUP BY r.doc_id
+"""
+
+
 # --- paragraph-level exact dedup ----------------------------------------------
 
 #: The synthetic corpus has no newlines, so the paragraph table is derived
@@ -1485,6 +1516,7 @@ TEXTOPS_QUERIES = {
     "source_cap": q_source_cap,
     "token_pack": q_token_pack,
     "paragraph_dedup": q_paragraph_dedup,
+    "unigram_logprob": q_unigram_logprob,
     "tfidf_keywords": q_tfidf_keywords,
     "repetition_ratio": q_repetition_ratio,
     "quality_sampled": q_quality_sampled,
@@ -1523,6 +1555,7 @@ TEXTOPS_ORACLES = {
     "source_cap": SQL_SOURCE_CAP,
     "token_pack": SQL_TOKEN_PACK,
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
+    "unigram_logprob": SQL_UNIGRAM_LOGPROB,
     "tfidf_keywords": _sql_tfidf_keywords(),
     "repetition_ratio": SQL_REPETITION_RATIO,
     "quality_sampled": _sql_quality_sampled(),

@@ -263,3 +263,38 @@ def redact_pii(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     for _, pat, rep in PII_PATTERNS:
         red = F.regexp_replace(red, pat, rep)
     return df.select(F.col(id_col).alias("id"), *counts, red.alias("redacted"))
+
+
+def unigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-doc mean unigram log-probability under the corpus's OWN
+    MLE unigram model: ``p(t) = cf_t / total_tokens``, score =
+    mean_t ln p(t) — the corpus-internal analog of the LM-perplexity
+    quality filter LLM pipelines run (CCNet-style), with no external
+    model: a doc full of corpus-rare tokens (OCR noise, gibberish,
+    wrong-language) scores far below the corpus mode, a doc of only
+    head tokens scores near it; both tails are removal candidates.
+
+    -> (id, n_tokens, mean_logprob).
+
+    Plan: one token explode feeding BOTH the model aggregation
+    (groupBy token — partial-aggregable, Zipf head combines map-side)
+    and the scoring join (token -> ln p), then a per-doc mean.  The
+    model table is |vocab|-sized — broadcast it when vocab fits, else
+    it's a plain shuffle join on the token key; the normalizing total
+    is a broadcast 1-row aggregate, in-plan (no driver action)."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens_array_expr(F.col(text_col))).alias("tok"),
+    )
+    total = toks.agg(F.count("*").cast("double").alias("_tot"))
+    model = toks.groupBy("tok").agg(F.count("*").alias("cf"))
+    scored = (
+        toks.join(model, "tok")
+        .crossJoin(F.broadcast(total))
+        .select("id", F.log(F.col("cf") / F.col("_tot")).alias("_lp"))
+    )
+    return (
+        scored.groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
+             F.round(F.avg("_lp"), 4).alias("mean_logprob"))
+    )
