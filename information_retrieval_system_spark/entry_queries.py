@@ -581,11 +581,12 @@ _GRADE_FIRST = [
     "revenue_by_nation", "rollup_pricing",
 ]
 #: Round-6 LATE additions (snippet_topk, rerank_topk, impact_topk,
-#: paragraph_dedup) land after the 50-slot cap: the cap was already
-#: full with the r05-ungraded backlog plus the round's first 11 new
-#: entries.  They are selfcheck- and pytest-gated this round and MUST
-#: rotate into the graded window in round 7 (put them first, demote
-#: the 11 round-6 entries that will then hold fresh r06 rows).
+#: paragraph_dedup, unigram_logprob, trigram_search, regex_search,
+#: trigram_stats, subtoken_tf) land after the 50-slot cap: the cap was
+#: already full with the r05-ungraded backlog plus the round's first 11
+#: new entries.  They are selfcheck- and pytest-gated this round and
+#: MUST rotate into the graded window in round 7 (put them first,
+#: demote the 11 round-6 entries that will then hold fresh r06 rows).
 
 
 def _rotated(d: dict) -> dict:

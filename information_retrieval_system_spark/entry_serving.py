@@ -353,7 +353,91 @@ LIMIT {EQ.TOPK}
 """
 
 
+# --- trigram substring / regex search (code-search structure) -------------------
+
+TRIGRAM_NEEDLE = "spark join"
+TRIGRAM_REGEX = "spark [a-z]+ join"
+TRIGRAM_BUCKETS = 8
+
+
+def _trigram_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build + persist the gram-bucketed trigram postings once per sf_dir,
+    then serve from the partition-pruned read path (index/trigram.py)."""
+    from .index.trigram import read_trigram_index, trigram_postings, write_trigram_index
+
+    key = f"trigram:{sf_dir}"
+    if key not in _SERVE_CACHE:
+        docs = EQ.load_documents(spark, sf_dir)
+        posts = trigram_postings(docs, "text", "doc_id")
+        out = os.path.join(tempfile.gettempdir(), "irs_trigram", _TMP_TAG,
+                           sf_dir.strip("/").replace("/", "_"))
+        write_trigram_index(posts, out, gram_buckets=TRIGRAM_BUCKETS)
+        _SERVE_CACHE[key] = read_trigram_index(spark, out)
+    return _SERVE_CACHE[key]
+
+
+def q_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring search through the served trigram layout: rarest
+    needle grams -> AND-intersection candidates (bucket-pruned scan) ->
+    contains() verification restricted to candidates.  The oracle is the
+    semantic ground truth (a full-scan contains)."""
+    from .index.trigram import substring_search
+
+    posts = _trigram_served(spark, sf_dir)
+    docs = EQ.load_documents(spark, sf_dir)
+    out = substring_search(posts, docs, TRIGRAM_NEEDLE, "text", "doc_id",
+                           gram_buckets=TRIGRAM_BUCKETS)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"))
+
+
+SQL_TRIGRAM_SEARCH = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id
+FROM documents WHERE contains(text, '{TRIGRAM_NEEDLE}')
+"""
+
+
+def q_regex_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact regex search with the trigram literal-run prefilter
+    (conservative Cox compilation: extracted literals are REQUIRED, so
+    candidates are a superset and rlike verification is exact).  The
+    pattern stays in the Java∩RE2 subset so DuckDB grades it."""
+    from .index.trigram import regex_search
+
+    posts = _trigram_served(spark, sf_dir)
+    docs = EQ.load_documents(spark, sf_dir)
+    out = regex_search(posts, docs, TRIGRAM_REGEX, "text", "doc_id",
+                       gram_buckets=TRIGRAM_BUCKETS)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"))
+
+
+SQL_REGEX_SEARCH = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id
+FROM documents WHERE regexp_matches(text, '{TRIGRAM_REGEX}')
+"""
+
+
+def q_trigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram df stats off the served postings (the table a planner
+    orders needle grams by); deterministic (df desc, gram asc) top-20."""
+    from .index.trigram import trigram_df_stats
+
+    return trigram_df_stats(_trigram_served(spark, sf_dir), top_n=20)
+
+
+SQL_TRIGRAM_STATS = """
+WITH g AS (
+  SELECT DISTINCT doc_id, substring(text, CAST(i AS INTEGER), 3) AS gram
+  FROM documents, LATERAL (SELECT unnest(generate_series(1, len(text)-2)) AS i) t(i)
+)
+SELECT gram, CAST(count(*) AS BIGINT) AS df
+FROM g GROUP BY gram ORDER BY df DESC, gram ASC LIMIT 20
+"""
+
+
 SERVING_QUERIES = {
+    "trigram_search": q_trigram_search,
+    "regex_search": q_regex_search,
+    "trigram_stats": q_trigram_stats,
     "impact_topk": q_impact_topk,
     "expired_snapshot_term_df": q_expired_snapshot_term_df,
     "bm25_served": q_bm25_served,
@@ -366,6 +450,9 @@ SERVING_QUERIES = {
 }
 
 SERVING_ORACLES = {
+    "trigram_search": SQL_TRIGRAM_SEARCH,
+    "regex_search": SQL_REGEX_SEARCH,
+    "trigram_stats": SQL_TRIGRAM_STATS,
     "impact_topk": _sql_impact_topk(),
     "expired_snapshot_term_df": EQ.SQL_TERM_DF,
     "bm25_served": EQ.SQL_BM25_TOPK,

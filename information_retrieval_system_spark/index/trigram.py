@@ -1,0 +1,296 @@
+"""Trigram index for substring and regex search over a code corpus.
+
+The classic code-search structure (Google Code Search / Zoekt): every
+document contributes the SET of distinct character trigrams of its
+content; a substring query of length >= 3 can only match documents that
+contain ALL of the needle's trigrams, so candidate generation is an
+AND-intersection of posting lists and only the (small) candidate set is
+verified against the raw text.  Regex queries prefilter through the
+trigrams of literal runs extracted from the pattern (conservative
+subset of Cox's RegexpQuery -> trigram-query compilation: every
+extracted literal is REQUIRED by construction, so the candidate set is
+always a superset of the true match set and verification stays exact).
+
+Reference parity: the reference engine answers only token-level queries
+(Search_FR.java); substring/regex search is the code-payload operator
+its users reach for grep/Zoekt for.  This module adds it Spark-first:
+
+- build = one projection with per-doc ``array_distinct`` (no corpus-wide
+  exchange) + explode -> (gram, doc_id) postings; ONE partial-aggregable
+  shuffle for df stats.
+- serving layout = postings written ``partitionBy(gbucket)`` where
+  ``gbucket = pmod(hash(gram), B)`` — a query touches only its needle
+  grams' buckets (partition-pruned scan, the same layout contract as the
+  term-bucketed BM25 postings in index/builder.py).
+- query = needle grams are a handful of LITERALS (broadcast by
+  construction); candidates come from one groupBy(doc) having
+  count == n_required; verification is a semi-join-restricted
+  ``contains``/``rlike`` filter — corpus-sized work never happens at
+  query time.
+- skew lever: all needle grams are required, so any SUBSET yields a
+  candidate superset; ``max_grams`` keeps only the RAREST grams (df
+  from a needle-sized driver lookup, the wand.py term-stats pattern),
+  which caps the posting volume a hot trigram ("ion", "the") would
+  otherwise drag through the shuffle.  Verification restores exactness.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+#: regex metacharacters that terminate a literal run
+_META = set(".^$*+?()[]{}|\\")
+
+
+def trigram_expr(col: F.Column) -> F.Column:
+    """Array of the DISTINCT character trigrams of ``col`` (empty array
+    below length 3).  Pure column expressions — the sequence/transform
+    pair stays in codegen; ``array_distinct`` dedups per-doc so the
+    postings explode is set-semantics without a corpus-wide exchange."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(col) - F.lit(2)),
+        lambda i: F.substring(col, i, F.lit(3)),
+    )
+    return F.when(F.length(col) >= 3, F.array_distinct(grams)) \
+            .otherwise(F.array().cast("array<string>"))
+
+
+def trigram_postings(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """-> postings ``(gram, doc_id)``, one row per (distinct trigram, doc)."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(trigram_expr(F.col(text_col))).alias("gram"),
+    ).select("gram", "doc_id")
+
+
+def write_trigram_index(postings: DataFrame, path: str, gram_buckets: int = 16) -> None:
+    """Persist postings partitioned by ``gbucket = pmod(hash(gram), B)``
+    so a query scans only its needle grams' partitions (Iceberg-shaped
+    bucket layout, same contract as the BM25 term buckets)."""
+    (postings
+     .withColumn("gbucket", F.pmod(F.hash("gram"), F.lit(gram_buckets)))
+     .repartition("gbucket")
+     .write.mode("overwrite")
+     .partitionBy("gbucket")
+     .parquet(path))
+
+
+def read_trigram_index(spark: SparkSession, path: str) -> DataFrame:
+    """Read the bucketed layout back; keeps ``gbucket`` so searches can
+    partition-filter on it."""
+    return spark.read.parquet(path)
+
+
+def _needle_grams(needle: str) -> list[str]:
+    return sorted({needle[i:i + 3] for i in range(len(needle) - 2)})
+
+
+def _rarest_grams(postings: DataFrame, grams: list[str], max_grams: int | None) -> list[str]:
+    """Keep the ``max_grams`` rarest grams by df.  The df lookup is one
+    driver job over a needle-sized filter (|grams| rows back) — the
+    bounded term-stats pattern, never corpus-sized."""
+    if max_grams is None or len(grams) <= max_grams:
+        return grams
+    dfs = {r["gram"]: r["df"] for r in
+           postings.filter(F.col("gram").isin(grams))
+                   .groupBy("gram").agg(F.count("*").alias("df"))
+                   .collect()}
+    # a gram absent from the index has df 0 => no doc can match; keep it
+    # so the intersection correctly empties out
+    return sorted(grams, key=lambda g: (dfs.get(g, 0), g))[:max_grams]
+
+
+def _candidates(postings: DataFrame, grams: list[str],
+                gram_buckets: int | None = None) -> DataFrame:
+    """Docs containing ALL ``grams``: filter postings to the gram set
+    (isin over literals — pushed to the scan), groupBy(doc) HAVING
+    count == n.  Grams are distinct per doc by construction, so a plain
+    count is the intersection test.  With a bucketed layout the
+    ``gbucket`` filter prunes partitions before the scan."""
+    p = postings
+    if gram_buckets is not None and "gbucket" in p.columns:
+        buckets = sorted({_py_bucket_of(g, gram_buckets) for g in grams})
+        p = p.filter(F.col("gbucket").isin(buckets))
+    return (p.filter(F.col("gram").isin(grams))
+             .groupBy("doc_id")
+             .agg(F.count("*").alias("_ng"))
+             .filter(F.col("_ng") == len(grams))
+             .select("doc_id"))
+
+
+def _py_bucket_of(gram: str, buckets: int) -> int:
+    # computed lazily on the driver via a 1-row literal plan the first
+    # time a (gram, buckets) pair is seen; cached because Spark's
+    # Murmur3 hash has no cheap Python twin we would trust to stay
+    # bit-identical across versions
+    key = (gram, buckets)
+    if key not in _BUCKET_CACHE:
+        spark = SparkSession.getActiveSession()
+        row = spark.range(1).select(
+            F.pmod(F.hash(F.lit(gram)), F.lit(buckets)).alias("b")).first()
+        _BUCKET_CACHE[key] = int(row["b"])
+    return _BUCKET_CACHE[key]
+
+
+_BUCKET_CACHE: dict[tuple[str, int], int] = {}
+
+
+def substring_search(postings: DataFrame, docs: DataFrame, needle: str,
+                     text_col: str, id_col: str,
+                     max_grams: int | None = 8,
+                     gram_buckets: int | None = None) -> DataFrame:
+    """Exact substring search: trigram AND-intersection candidates, then
+    ``contains`` verification restricted to the candidate set.
+
+    -> (doc_id) of every document whose ``text_col`` contains ``needle``.
+
+    Needles shorter than 3 characters have no trigram to prefilter on;
+    they fall back to a documented full-scan filter (still exact)."""
+    if len(needle) < 3:
+        return docs.filter(F.col(text_col).contains(needle)) \
+                   .select(F.col(id_col).alias("doc_id"))
+    grams = _rarest_grams(postings, _needle_grams(needle), max_grams)
+    cand = _candidates(postings, grams, gram_buckets)
+    return (docs.join(cand, docs[id_col] == cand["doc_id"], "left_semi")
+                .filter(F.col(text_col).contains(needle))
+                .select(F.col(id_col).alias("doc_id")))
+
+
+def regex_required_literals(pattern: str) -> list[str]:
+    """Conservative literal-run extraction from a regex (the REQUIRED
+    subset of Cox's trigram-query compilation): every returned string
+    must appear verbatim in any match.  Rules:
+
+    - alternation or groups anywhere -> give up (a branch/optional group
+      makes containment non-universal); returns [].
+    - ``?``/``*``/``{`` quantifiers make the PREVIOUS atom optional: it
+      is dropped from the current run and the run is flushed.
+    - ``+`` keeps the previous atom (>=1 occurrence) but breaks
+      adjacency after it.
+    - character classes, ``.``, anchors, and class escapes (``\\d`` ...)
+      break the run; escaped literals (``\\.``) extend it.
+
+    Runs shorter than 3 chars can't seed a trigram and are dropped by
+    the caller.  An empty result means "no safe prefilter — full scan".
+    """
+    if "|" in pattern or "(" in pattern:
+        return []
+    runs: list[str] = []
+    cur = ""
+    i, n = 0, len(pattern)
+
+    def flush() -> None:
+        nonlocal cur
+        if cur:
+            runs.append(cur)
+        cur = ""
+
+    while i < n:
+        c = pattern[i]
+        if c == "\\":
+            nxt = pattern[i + 1] if i + 1 < n else ""
+            if not nxt:
+                return []  # malformed; no prefilter
+            if nxt.isalnum():  # class escape (\d \w \b ...) or backref
+                flush()
+                i += 2
+                continue
+            # escaped literal — but check for a following quantifier
+            q = pattern[i + 2] if i + 2 < n else ""
+            if q in "?*":  # escaped char is optional: drop it
+                flush()
+                i += 3
+                continue
+            if q == "{":
+                flush()
+                j = pattern.find("}", i + 2)
+                if j == -1:
+                    return []
+                i = j + 1
+                continue
+            if q == "+":  # kept (>=1) but adjacency breaks after it
+                cur += nxt
+                flush()
+                i += 3
+                continue
+            cur += nxt
+            i += 2
+            continue
+        if c == "[":
+            flush()
+            j = i + 1
+            if j < n and pattern[j] == "^":
+                j += 1
+            if j < n and pattern[j] == "]":
+                j += 1
+            while j < n and pattern[j] != "]":
+                j += 2 if pattern[j] == "\\" else 1
+            if j >= n:
+                return []
+            i = j + 1
+            # a quantifier after the class applies to the class; run is
+            # already flushed, just skip it
+            if i < n and pattern[i] in "?*+":
+                i += 1
+            elif i < n and pattern[i] == "{":
+                j = pattern.find("}", i)
+                if j == -1:
+                    return []
+                i = j + 1
+            continue
+        if c in "?*{":
+            # previous literal becomes optional: drop it, flush
+            cur = cur[:-1]
+            flush()
+            if c == "{":
+                j = pattern.find("}", i)
+                if j == -1:
+                    return []
+                i = j + 1
+            else:
+                i += 1
+            continue
+        if c == "+":
+            flush()  # previous char stays (>=1), adjacency breaks after
+            i += 1
+            continue
+        if c in ".^$":
+            flush()
+            i += 1
+            continue
+        if c in _META:
+            return []  # ) ] } | stray — malformed or unhandled
+        cur += c
+        i += 1
+    flush()
+    return [r for r in runs if r]
+
+
+def regex_search(postings: DataFrame, docs: DataFrame, pattern: str,
+                 text_col: str, id_col: str,
+                 max_grams: int | None = 8,
+                 gram_buckets: int | None = None) -> DataFrame:
+    """Exact regex search with a trigram prefilter when the pattern
+    yields literal runs >= 3 chars; otherwise a documented full-scan
+    ``rlike`` (still exact).  -> (doc_id)."""
+    lits = [r for r in regex_required_literals(pattern) if len(r) >= 3]
+    base = docs
+    if lits:
+        grams = sorted({g for lit in lits for g in _needle_grams(lit)})
+        grams = _rarest_grams(postings, grams, max_grams)
+        cand = _candidates(postings, grams, gram_buckets)
+        base = docs.join(cand, docs[id_col] == cand["doc_id"], "left_semi")
+    return (base.filter(F.col(text_col).rlike(pattern))
+                .select(F.col(id_col).alias("doc_id")))
+
+
+def trigram_df_stats(postings: DataFrame, top_n: int = 20) -> DataFrame:
+    """Document frequency of every trigram, top-``top_n`` by (df desc,
+    gram asc) — the build-side stats table a planner orders needle
+    grams by.  One partial-aggregable shuffle."""
+    return (postings.groupBy("gram")
+            .agg(F.count("*").cast("long").alias("df"))
+            .orderBy(F.col("df").desc(), F.col("gram").asc())
+            .limit(top_n))
