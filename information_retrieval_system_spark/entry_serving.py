@@ -353,6 +353,72 @@ LIMIT {EQ.TOPK}
 """
 
 
+# --- code-identifier subtoken analyzer -------------------------------------------
+
+#: deterministic identifier injection (the synthetic corpus is plain
+#: lowercase prose, so the gate appends one code identifier per doc,
+#: selected by doc_id — engine and oracle build the same augmented
+#: content, exactly the PII-gate pattern)
+SUBTOKEN_IDENTS = ["getSparkJoin", "HTTPServerFast", "parse_sql_plan",
+                   "MergeBatchWindow"]
+SUBTOKEN_TERMS = ["get", "spark", "join", "http", "server", "fast",
+                  "parse", "sql", "plan", "merge", "batch", "window"]
+
+
+def q_subtoken_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf per (doc, term) through the code-identifier subtoken analyzer
+    (sources/corpus.identifier_split_expr): camelCase/acronym boundaries
+    become token breaks before normalization, so ``server`` matches
+    ``HTTPServerFast``.  Restricted to the injected subtoken set (terms
+    like ``spark`` combine base-text and identifier occurrences — both
+    contributions are graded)."""
+    from .analysis.analyzer import tokens_array_expr
+    from .sources.corpus import identifier_split_expr
+
+    docs = EQ.load_documents(spark, sf_dir)
+    idents = F.array(*[F.lit(s) for s in SUBTOKEN_IDENTS])
+    aug = docs.select(
+        "doc_id",
+        F.concat("text", F.lit(" "),
+                 F.element_at(idents, (F.col("doc_id") % 4 + 1).cast("int"))
+                 ).alias("content"))
+    toks = aug.select(
+        "doc_id",
+        F.explode(tokens_array_expr(identifier_split_expr(F.col("content")))).alias("term"))
+    return (toks.filter(F.col("term").isin(SUBTOKEN_TERMS))
+            .groupBy("doc_id", "term")
+            .agg(F.count("*").cast("long").alias("tf"))
+            .select(F.col("doc_id").cast("long").alias("doc_id"), "term", "tf"))
+
+
+def _sql_subtoken_tf() -> str:
+    idents = ", ".join(f"'{s}'" for s in SUBTOKEN_IDENTS)
+    terms = ", ".join(f"'{t}'" for t in SUBTOKEN_TERMS)
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' ' || ([{idents}])[CAST(doc_id % 4 AS INTEGER) + 1] AS content
+  FROM documents
+),
+split AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(content,
+             '([A-Z]+)([A-Z][a-z])', '\\1 \\2', 'g'),
+             '([a-z0-9])([A-Z])', '\\1 \\2', 'g') AS s
+  FROM aug
+),
+raw AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(regexp_replace(regexp_replace(s,
+             '[^\\p{{L}}\\p{{Nd}}]+', ' ', 'g'), '[0-9]', ' ', 'g'))), ' +')) AS term
+  FROM split
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, term, CAST(count(*) AS BIGINT) AS tf
+FROM raw WHERE term IN ({terms})
+GROUP BY 1, 2
+"""
+
+
 # --- trigram substring / regex search (code-search structure) -------------------
 
 TRIGRAM_NEEDLE = "spark join"
@@ -435,6 +501,7 @@ FROM g GROUP BY gram ORDER BY df DESC, gram ASC LIMIT 20
 
 
 SERVING_QUERIES = {
+    "subtoken_tf": q_subtoken_tf,
     "trigram_search": q_trigram_search,
     "regex_search": q_regex_search,
     "trigram_stats": q_trigram_stats,
@@ -450,6 +517,7 @@ SERVING_QUERIES = {
 }
 
 SERVING_ORACLES = {
+    "subtoken_tf": _sql_subtoken_tf(),
     "trigram_search": SQL_TRIGRAM_SEARCH,
     "regex_search": SQL_REGEX_SEARCH,
     "trigram_stats": SQL_TRIGRAM_STATS,

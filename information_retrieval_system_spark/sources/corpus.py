@@ -65,3 +65,20 @@ def expand_documents(docs: DataFrame, factor: int,
             F.concat(F.col("text"), F.lit(" replica"), F.col("k").cast("string"))
         ).alias("text"),
     )
+
+
+def identifier_split_expr(col: F.Column) -> F.Column:
+    """Code-identifier subtoken split (the Zoekt / GitHub-code-search
+    analyzer convention): insert spaces at camelCase boundaries —
+    ``getFooBar -> get Foo Bar``, acronym runs ``HTTPServer -> HTTP
+    Server`` — BEFORE the standard normalization pass, whose
+    non-alphanumeric split already handles snake_case / kebab-case.
+    Two JVM ``regexp_replace`` passes, no UDF; feed the result to
+    ``analysis.analyzer.tokens_array_expr`` (which lowercases).
+
+    The reference tokenizes code files as plain text (its per-field
+    stringPreparation, Indexer.java — T8 in SURVEY §2); subtoken
+    indexing is the code-payload extension that makes ``bm25("server")``
+    match ``HTTPServer`` without wildcard scans."""
+    acr = F.regexp_replace(col, "([A-Z]+)([A-Z][a-z])", "$1 $2")
+    return F.regexp_replace(acr, "([a-z0-9])([A-Z])", "$1 $2")

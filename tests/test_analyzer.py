@@ -50,3 +50,21 @@ def test_doc_length_is_prefilter(spark):
     dl = df.select(doc_length_expr(F.col("text")).alias("dl")).collect()[0].dl
     _, oracle_dl = analyze("the of and unique", True, True)
     assert dl == oracle_dl == 4  # stopwords count toward dl (T4)
+
+
+def test_identifier_split_subtokens(spark):
+    """Code-identifier analyzer: camelCase, acronym runs, snake_case,
+    kebab-case, and digit boundaries all become subtokens."""
+    from pyspark.sql import functions as F
+
+    from information_retrieval_system_spark.analysis.analyzer import tokens_array_expr
+    from information_retrieval_system_spark.sources.corpus import identifier_split_expr
+
+    df = spark.createDataFrame(
+        [("getFooBar HTTPServer2Fast parse_sql_plan kebab-case XMLHttpRequest",)],
+        "c string")
+    got = df.select(
+        tokens_array_expr(identifier_split_expr(F.col("c"))).alias("t")).first()["t"]
+    assert got == ["get", "foo", "bar", "http", "server", "fast",
+                   "parse", "sql", "plan", "kebab", "case",
+                   "xml", "http", "request"]
