@@ -419,6 +419,79 @@ GROUP BY 1, 2
 """
 
 
+# --- symbol extraction (ctags-lite) ----------------------------------------------
+
+#: deterministic code-snippet injection per doc_id%4 (the synthetic
+#: corpus is prose; snippet 3 re-defines parse_query so the symbol has
+#: cross-doc df, snippet 2 mixes JS/Go forms, snippet 0's nested
+#: `def emit` exercises indented definitions, slot 4 injects nothing so
+#: zero-symbol docs grade too)
+SYMBOL_SNIPPETS = [
+    "\ndef parse_query(q):\n    return q\nclass QueryPlanner:\n    pass\n",
+    "\nfunction renderTable(rows) {\n}\nfunc mergeBatch(a, b) {\n}\n",
+    "\nclass StreamWindow:\n    def emit(self):\n        pass\ndef parse_query(x):\n    pass\n",
+    "",
+]
+SYMBOL_QUERY = "parse_query"
+
+
+def _symbol_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = EQ.load_documents(spark, sf_dir)
+    snips = F.array(*[F.lit(s) for s in SYMBOL_SNIPPETS])
+    return docs.select(
+        "doc_id",
+        F.concat("text",
+                 F.element_at(snips, (F.col("doc_id") % 4 + 1).cast("int"))
+                 ).alias("content"))
+
+
+def q_symbol_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Definition-site extraction (analysis/symbols.py): def/class/
+    function/func identifiers collected in ONE projection (per-pattern
+    regexp_extract_all → kind-tagged structs → single explode), counted
+    per (doc, kind, symbol)."""
+    from .analysis.symbols import extract_symbols
+
+    out = extract_symbols(_symbol_aug(spark, sf_dir), "content", "doc_id")
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      "kind", "symbol", "n_defs")
+
+
+def q_symbol_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``symbol:`` qualifier: docs DEFINING ``parse_query``."""
+    from .analysis.symbols import symbol_search
+
+    out = symbol_search(_symbol_aug(spark, sf_dir), "content", "doc_id",
+                        SYMBOL_QUERY)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      "kind", "n_defs")
+
+
+def _sql_symbols(select: str) -> str:
+    from .analysis.symbols import SYMBOL_PATTERNS
+
+    snips = ", ".join("'" + s.replace("'", "''") + "'" for s in SYMBOL_SNIPPETS)
+    branches = "\n  UNION ALL\n".join(
+        f"""  SELECT doc_id, '{kind}' AS kind,
+         unnest(regexp_extract_all(content, '{pat}', 1)) AS symbol
+  FROM aug""" for kind, pat in SYMBOL_PATTERNS)
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ([{snips}])[CAST(doc_id % 4 AS INTEGER) + 1] AS content
+  FROM documents
+),
+sym AS (
+{branches}
+)
+{select}
+"""
+
+
+SQL_SYMBOL_EXTRACT = None  # bound below (needs the module-level helper)
+SQL_SYMBOL_SEARCH = None
+
+
 # --- trigram substring / regex search (code-search structure) -------------------
 
 TRIGRAM_NEEDLE = "spark join"
@@ -501,6 +574,8 @@ FROM g GROUP BY gram ORDER BY df DESC, gram ASC LIMIT 20
 
 
 SERVING_QUERIES = {
+    "symbol_extract": q_symbol_extract,
+    "symbol_search": q_symbol_search,
     "subtoken_tf": q_subtoken_tf,
     "trigram_search": q_trigram_search,
     "regex_search": q_regex_search,
@@ -517,6 +592,14 @@ SERVING_QUERIES = {
 }
 
 SERVING_ORACLES = {
+    "symbol_extract": _sql_symbols(
+        """SELECT CAST(doc_id AS BIGINT) AS doc_id, kind, symbol,
+       CAST(count(*) AS BIGINT) AS n_defs
+FROM sym GROUP BY 1, 2, 3"""),
+    "symbol_search": _sql_symbols(
+        """SELECT CAST(doc_id AS BIGINT) AS doc_id, kind,
+       CAST(count(*) AS BIGINT) AS n_defs
+FROM sym WHERE symbol = 'parse_query' GROUP BY 1, 2"""),
     "subtoken_tf": _sql_subtoken_tf(),
     "trigram_search": SQL_TRIGRAM_SEARCH,
     "regex_search": SQL_REGEX_SEARCH,

@@ -68,3 +68,34 @@ def test_identifier_split_subtokens(spark):
     assert got == ["get", "foo", "bar", "http", "server", "fast",
                    "parse", "sql", "plan", "kebab", "case",
                    "xml", "http", "request"]
+
+
+def test_extract_symbols_kinds_and_counts(spark):
+    from information_retrieval_system_spark.analysis.symbols import (
+        extract_symbols,
+        symbol_search,
+    )
+
+    content = (
+        "prose intro\n"
+        "def top_level(a):\n    pass\n"
+        "class Outer:\n"
+        "    def method(self):\n        pass\n"
+        "function jsThing(x) {\n}\n"
+        "func goThing(y) {\n}\n"
+        "def top_level(b):\n    pass\n"     # re-definition -> n_defs 2
+        "undef not_a_def(z)\n"              # must NOT match
+    )
+    docs = spark.createDataFrame([(1, content), (2, "no code here")],
+                                 "doc_id long, text string")
+    got = {(r.doc_id, r.kind, r.symbol): r.n_defs
+           for r in extract_symbols(docs, "text", "doc_id").collect()}
+    assert got == {
+        (1, "function", "top_level"): 2,
+        (1, "function", "method"): 1,
+        (1, "function", "jsThing"): 1,
+        (1, "function", "goThing"): 1,
+        (1, "class", "Outer"): 1,
+    }
+    hits = symbol_search(docs, "text", "doc_id", "top_level").collect()
+    assert [(r.doc_id, r.kind, r.n_defs) for r in hits] == [(1, "function", 2)]
