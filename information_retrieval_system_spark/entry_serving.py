@@ -419,6 +419,53 @@ GROUP BY 1, 2
 """
 
 
+# --- HEAD resolution over a multi-commit corpus ----------------------------------
+
+
+def q_latest_file_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest HEAD resolution (sources/corpus.latest_file_version): each
+    file arrives at two versions (version 0 = stale content prefixed
+    'stale ', version 1 = current); ONE map-side-combining max_by per
+    (repo, path) keeps the newest.  Output pins the resolved content by
+    sha256 — the input_hint's per-row invariant — so the gate catches a
+    wrong-version pick, not just a wrong count."""
+    from .sources.corpus import corpus_from_documents, latest_file_version
+
+    corpus = corpus_from_documents(EQ.load_documents(spark, sf_dir))
+    vers = corpus.select(
+        "repo", "path",
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("version"),
+        "content",
+    ).select(
+        "repo", "path", "version",
+        F.when(F.col("version") == 1, F.col("content"))
+         .otherwise(F.concat(F.lit("stale "), F.col("content"))).alias("content"),
+    )
+    out = latest_file_version(vers, version_col="version")
+    return out.select("repo", "path",
+                      F.col("version").cast("long").alias("version"),
+                      F.sha2(F.col("content"), 256).alias("content_sha"))
+
+
+SQL_LATEST_FILE_VERSION = """
+WITH corpus AS (
+  SELECT 'org/' || source AS repo,
+         'src/f' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+         text AS content
+  FROM documents
+),
+vers AS (
+  SELECT repo, path, v AS version,
+         CASE WHEN v = 1 THEN content ELSE 'stale ' || content END AS content
+  FROM corpus, LATERAL (SELECT unnest([0, 1]) AS v) t(v)
+)
+SELECT repo, path,
+       CAST(max(version) AS BIGINT) AS version,
+       arg_max(sha256(content), version) AS content_sha
+FROM vers GROUP BY repo, path
+"""
+
+
 # --- symbol extraction (ctags-lite) ----------------------------------------------
 
 #: deterministic code-snippet injection per doc_id%4 (the synthetic
@@ -574,6 +621,7 @@ FROM g GROUP BY gram ORDER BY df DESC, gram ASC LIMIT 20
 
 
 SERVING_QUERIES = {
+    "latest_file_version": q_latest_file_version,
     "symbol_extract": q_symbol_extract,
     "symbol_search": q_symbol_search,
     "subtoken_tf": q_subtoken_tf,
@@ -592,6 +640,7 @@ SERVING_QUERIES = {
 }
 
 SERVING_ORACLES = {
+    "latest_file_version": SQL_LATEST_FILE_VERSION,
     "symbol_extract": _sql_symbols(
         """SELECT CAST(doc_id AS BIGINT) AS doc_id, kind, symbol,
        CAST(count(*) AS BIGINT) AS n_defs

@@ -82,3 +82,29 @@ def identifier_split_expr(col: F.Column) -> F.Column:
     match ``HTTPServer`` without wildcard scans."""
     acr = F.regexp_replace(col, "([A-Z]+)([A-Z][a-z])", "$1 $2")
     return F.regexp_replace(acr, "([a-z0-9])([A-Z])", "$1 $2")
+
+
+def latest_file_version(df: DataFrame, version_col: str = "version",
+                        keys: tuple[str, ...] = ("repo", "path")) -> DataFrame:
+    """HEAD resolution over a multi-commit corpus: keep, per ``keys``
+    (default ``(repo, path)``), the row with the greatest
+    ``version_col``.  The ingest step a real source-code crawl needs
+    before indexing — the same file arrives once per commit touching
+    it, and only the newest version belongs in the index.
+
+    ONE ``max_by`` aggregation, not a row_number window: partial
+    aggregation combines map-side, so a hot path (a file touched by
+    millions of commits) reduces to one row per map task before the
+    shuffle — the window formulation would drag every version of the
+    hot key to a single task.
+
+    ``version_col`` must be totally ordered per key (commit timestamp,
+    crawl sequence number); ties would be nondeterministic, so prefer a
+    unique sequence.  Output column order: keys, then ``version_col``,
+    then the remaining payload columns.
+    """
+    payload = [c for c in df.columns if c not in keys and c != version_col]
+    aggs = [F.max(version_col).alias(version_col)] + [
+        F.max_by(c, F.col(version_col)).alias(c) for c in payload
+    ]
+    return df.groupBy(*keys).agg(*aggs)

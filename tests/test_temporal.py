@@ -125,3 +125,23 @@ def test_asof_null_right_value_not_skipped(spark):
     out2 = asof_join(left, right, on="user_id", value_cols=["status"],
                      tolerance_sec=120).collect()
     assert out2[0].status is None  # never 5: t=0 is not the matched row
+
+
+def test_latest_file_version_picks_max_per_key(spark):
+    from information_retrieval_system_spark.sources.corpus import latest_file_version
+
+    rows = [
+        ("r1", "a.py", 1, "v1"),
+        ("r1", "a.py", 3, "v3"),
+        ("r1", "a.py", 2, "v2"),
+        ("r1", "b.py", 7, "only"),
+        ("r2", "a.py", 5, "other-repo"),
+    ]
+    df = spark.createDataFrame(rows, "repo string, path string, version long, content string")
+    got = {(r.repo, r.path): (r.version, r.content)
+           for r in latest_file_version(df, version_col="version").collect()}
+    assert got == {
+        ("r1", "a.py"): (3, "v3"),
+        ("r1", "b.py"): (7, "only"),
+        ("r2", "a.py"): (5, "other-repo"),
+    }
