@@ -78,3 +78,38 @@ def symbol_search(df: DataFrame, text_col: str, id_col: str,
     return (extract_symbols(df, text_col, id_col)
             .filter(F.col("symbol") == symbol)
             .select("doc_id", "kind", "n_defs"))
+
+
+def write_symbol_index(symbols: DataFrame, path: str,
+                       symbol_buckets: int = 16) -> None:
+    """Persist the ``extract_symbols`` table partitioned by
+    ``sbucket = pmod(hash(symbol), B)`` — a symbol lookup scans one
+    bucket (the term/gram bucket layout contract)."""
+    (symbols
+     .withColumn("sbucket", F.pmod(F.hash("symbol"), F.lit(symbol_buckets)))
+     .repartition("sbucket")
+     .write.mode("overwrite")
+     .partitionBy("sbucket")
+     .parquet(path))
+
+
+def read_symbol_index(df_or_spark, path: str) -> DataFrame:
+    """Read the bucketed symbol layout back (keeps ``sbucket``)."""
+    spark = df_or_spark if hasattr(df_or_spark, "read") else df_or_spark.sparkSession
+    return spark.read.parquet(path)
+
+
+def symbol_search_served(symbols: DataFrame, symbol: str,
+                         symbol_buckets: int | None = None) -> DataFrame:
+    """``symbol:`` lookup against the PERSISTED layout: partition-filter
+    on the symbol's bucket, then the equality predicate (pushed to the
+    parquet scan).  -> (doc_id, kind, n_defs)."""
+    s = symbols
+    if symbol_buckets is not None and "sbucket" in s.columns:
+        spark = s.sparkSession
+        b = int(spark.range(1).select(
+            F.pmod(F.hash(F.lit(symbol)), F.lit(symbol_buckets)).alias("b")
+        ).first()["b"])
+        s = s.filter(F.col("sbucket") == b)
+    return (s.filter(F.col("symbol") == symbol)
+            .select("doc_id", "kind", "n_defs"))

@@ -419,6 +419,58 @@ GROUP BY 1, 2
 """
 
 
+# --- per-repo result rollup -------------------------------------------------------
+
+REPO_TOPK = 10
+
+
+def q_repo_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-results-by-repository (the GitHub-code-search result
+    shape): rank repos by their best file's BM25 score, carrying the
+    matched-file count.  Uses ``bm25_scores`` (the UNCUT scoring plan) —
+    a doc-level top-k before the rollup would drop repos whose best file
+    sits below the doc cut.  Aggregation above the doc level is one
+    extra partial-aggregable shuffle on the repo key."""
+    ix = EQ.get_index(spark, sf_dir)
+    scores = scoring.bm25_scores(ix, EQ.query_terms_df(spark), cfg=EQ.NOSTEM_CFG)
+    repos = EQ.load_documents(spark, sf_dir).select(
+        "doc_id", F.concat(F.lit("org/"), F.col("source")).alias("repo"))
+    return (scores.join(repos, "doc_id")
+            .groupBy("repo")
+            .agg(F.round(F.max("score"), 4).alias("best_score"),
+                 F.count("*").cast("long").alias("n_files"))
+            .orderBy(F.desc("best_score"), F.asc("repo"))
+            .limit(REPO_TOPK))
+
+
+SQL_REPO_TOPK = f"""
+WITH {EQ.TOKS_CTE},
+post AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM post GROUP BY 1),
+dl AS (SELECT d.doc_id, CAST(coalesce(t.dl, 0) AS DOUBLE) AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1) t USING (doc_id)),
+stats AS (SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n,
+                 CAST((SELECT count(*) FROM toks) // (SELECT count(*) FROM documents) AS DOUBLE) AS avgdl),
+q AS (SELECT unnest({EQ._sql_terms_list()}) AS term),
+scored AS (
+  SELECT p.doc_id,
+         (ln((s.n - f.df + 0.5) / (f.df + 0.5)) / ln(2))
+           * p.tf * ({EQ.K1} + 1)
+           / (p.tf + {EQ.K1} * (1 - {EQ.B} + {EQ.B} * d.dl / s.avgdl)) AS ts
+  FROM post p JOIN q USING (term) JOIN dft f USING (term)
+  JOIN dl d USING (doc_id) CROSS JOIN stats s
+),
+docscore AS (SELECT doc_id, sum(ts) AS score FROM scored GROUP BY doc_id)
+SELECT 'org/' || d.source AS repo,
+       round(max(ds.score), 4) AS best_score,
+       CAST(count(*) AS BIGINT) AS n_files
+FROM docscore ds JOIN documents d USING (doc_id)
+GROUP BY 1
+ORDER BY round(max(ds.score), 4) DESC, repo ASC
+LIMIT {REPO_TOPK}
+"""
+
+
 # --- HEAD resolution over a multi-commit corpus ----------------------------------
 
 
@@ -504,12 +556,28 @@ def q_symbol_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "kind", "symbol", "n_defs")
 
 
-def q_symbol_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The ``symbol:`` qualifier: docs DEFINING ``parse_query``."""
-    from .analysis.symbols import symbol_search
+SYMBOL_BUCKETS = 8
 
-    out = symbol_search(_symbol_aug(spark, sf_dir), "content", "doc_id",
-                        SYMBOL_QUERY)
+
+def q_symbol_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``symbol:`` qualifier THROUGH the persisted layout: the
+    symbol table is extracted once, written partitioned by
+    pmod(hash(symbol), B), and the lookup scans one bucket with the
+    equality predicate pushed to parquet.  The round-trip must be
+    value-invisible (same oracle as ad-hoc extraction)."""
+    from .analysis.symbols import (extract_symbols, read_symbol_index,
+                                   symbol_search_served, write_symbol_index)
+
+    key = f"symbols:{sf_dir}"
+    if key not in _SERVE_CACHE:
+        out = os.path.join(tempfile.gettempdir(), "irs_symbols", _TMP_TAG,
+                           sf_dir.strip("/").replace("/", "_"))
+        write_symbol_index(
+            extract_symbols(_symbol_aug(spark, sf_dir), "content", "doc_id"),
+            out, symbol_buckets=SYMBOL_BUCKETS)
+        _SERVE_CACHE[key] = read_symbol_index(spark, out)
+    out = symbol_search_served(_SERVE_CACHE[key], SYMBOL_QUERY,
+                               symbol_buckets=SYMBOL_BUCKETS)
     return out.select(F.col("doc_id").cast("long").alias("doc_id"),
                       "kind", "n_defs")
 
@@ -621,6 +689,7 @@ FROM g GROUP BY gram ORDER BY df DESC, gram ASC LIMIT 20
 
 
 SERVING_QUERIES = {
+    "repo_topk": q_repo_topk,
     "latest_file_version": q_latest_file_version,
     "symbol_extract": q_symbol_extract,
     "symbol_search": q_symbol_search,
@@ -640,6 +709,7 @@ SERVING_QUERIES = {
 }
 
 SERVING_ORACLES = {
+    "repo_topk": SQL_REPO_TOPK,
     "latest_file_version": SQL_LATEST_FILE_VERSION,
     "symbol_extract": _sql_symbols(
         """SELECT CAST(doc_id AS BIGINT) AS doc_id, kind, symbol,

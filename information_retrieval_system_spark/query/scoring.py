@@ -81,6 +81,24 @@ def bm25_search(
     engine-independent (e.g. Rocchio's feedback cut): double SUMS
     accumulate in engine-specific order, so a near-tie at the boundary
     can otherwise select different docs in Spark vs the oracle."""
+    key = F.col("score") if order_round is None else F.round("score", order_round)
+    return (
+        bm25_scores(index, query_terms, cfg=cfg, candidates=candidates)
+        .orderBy(F.desc(key), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def bm25_scores(
+    index: IndexTables,
+    query_terms: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """-> (doc_id, score) for EVERY matched doc — the pre-cut scoring
+    plan ``bm25_search`` limits.  Feed rollups that aggregate ABOVE the
+    document level (per-repo grouping, score histograms) where a top-k
+    cut before the rollup would be wrong."""
     n, avgdl = index.stats["n_docs"], index.stats["avgdl"]
     m = _matched(index, query_terms, candidates)
     m = m.join(index.docs.select("doc_id", "length"), "doc_id", "inner")
@@ -89,13 +107,7 @@ def bm25_search(
         bm25_term_score(F.col("tf").cast("double"), F.col("df").cast("double"),
                         F.col("length").cast("double"), n, float(avgdl), cfg.k1, cfg.b),
     )
-    key = F.col("score") if order_round is None else F.round("score", order_round)
-    return (
-        scored.groupBy("doc_id")
-        .agg(F.sum("tscore").alias("score"))
-        .orderBy(F.desc(key), F.asc("doc_id"))
-        .limit(k)
-    )
+    return scored.groupBy("doc_id").agg(F.sum("tscore").alias("score"))
 
 
 def bm25_search_id_keyed(
