@@ -107,6 +107,19 @@ def main() -> None:
             "per group before the per-source re-rank — no hot-domain "
             "straggler; map-side group-limit prunes before BOTH "
             "exchanges."),
+        "trigram_search (substring via gram-bucketed layout)": (
+            "Postings scan shows PartitionFilters on `gbucket` (the "
+            "needle grams' buckets) and PushedFilters gram IN (...); "
+            "candidate agg HAVING count == n_grams; contains() verify "
+            "runs only on the semi-joined candidate docs."),
+        "repo_topk (per-repo rollup over uncut scores)": (
+            "The bm25_scores plan (no doc-level limit) feeding one "
+            "extra partial-aggregable shuffle on repo; "
+            "TakeOrderedAndProject only at the repo level."),
+        "symbol_search (bucketed symbol layout)": (
+            "One-partition PartitionFilters on `sbucket` plus "
+            "PushedFilters symbol = '...' into the parquet scan; no "
+            "extraction at query time."),
     }
 
     q = EQ.QUERIES
@@ -127,6 +140,9 @@ def main() -> None:
         "termdict_bm25 (id-keyed serving path)": q["termdict_bm25"],
         "training_mix (composed curation funnel)": q["training_mix"],
         "source_cap (skew-safe per-domain cap)": q["source_cap"],
+        "trigram_search (substring via gram-bucketed layout)": q["trigram_search"],
+        "repo_topk (per-repo rollup over uncut scores)": q["repo_topk"],
+        "symbol_search (bucketed symbol layout)": q["symbol_search"],
     }
 
     out = [
