@@ -294,3 +294,34 @@ def trigram_df_stats(postings: DataFrame, top_n: int = 20) -> DataFrame:
             .agg(F.count("*").cast("long").alias("df"))
             .orderBy(F.col("df").desc(), F.col("gram").asc())
             .limit(top_n))
+
+
+def glob_to_regex(glob: str) -> str:
+    """Shell-style glob -> anchored-nowhere regex (substring semantics,
+    like grep): ``*`` -> ``.*``, ``?`` -> ``.``, every other char
+    escaped literally.  The output stays in the Java∩RE2 subset, and
+    its literal runs survive ``regex_required_literals`` — so
+    ``spark*join`` still prefilters on the trigrams of ``spark`` and
+    ``join``."""
+    out = []
+    for c in glob:
+        if c == "*":
+            out.append(".*")
+        elif c == "?":
+            out.append(".")
+        elif c in _META:
+            out.append("\\" + c)
+        else:
+            out.append(c)
+    return "".join(out)
+
+
+def glob_search(postings: DataFrame, docs: DataFrame, glob: str,
+                text_col: str, id_col: str,
+                max_grams: int | None = 8,
+                gram_buckets: int | None = None) -> DataFrame:
+    """Wildcard search (``spark*join``) through the trigram prefilter —
+    a thin translation onto ``regex_search``.  -> (doc_id)."""
+    return regex_search(postings, docs, glob_to_regex(glob), text_col,
+                        id_col, max_grams=max_grams,
+                        gram_buckets=gram_buckets)

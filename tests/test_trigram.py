@@ -139,3 +139,20 @@ def test_bucketed_roundtrip_prunes_partitions(spark, docs, tmp_path):
     plan = cand._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert "PartitionFilters" in plan
+
+
+def test_glob_search_matches_fnmatch_substring(posts, docs):
+    import re
+
+    from information_retrieval_system_spark.index.trigram import (
+        glob_search,
+        glob_to_regex,
+    )
+
+    # escaped-literal round trip: regex metachars in the glob are literal
+    assert glob_to_regex("a.b*c?d") == "a\\.b.*c.d"
+    for pat in ["spark*join", "merge?window", "spa*ing"]:
+        got = {r.doc_id for r in
+               glob_search(posts, docs, pat, "text", "doc_id").collect()}
+        truth = {i for i, t in DOCS if re.search(glob_to_regex(pat), t)}
+        assert got == truth, pat
