@@ -1422,6 +1422,103 @@ GROUP BY r.doc_id
 """
 
 
+# --- Stack-style code-file quality filters --------------------------------------
+
+#: The synthetic corpus is single-line prose, so the gate derives a
+#: multi-line "code file" per doc (8-token lines via the paragraph
+#: chunking) and injects one pathological tail per doc_id%5 — each
+#: triggering exactly one published drop rule (Kocetkov et al. 2022):
+#: %5==0 autogenerated marker, %5==1 a 1200-char line (max_line_len),
+#: %5==2 ~2k chars of punctuation in SHORT lines (alnum_frac only),
+#: %5==3 a 999-char line (avg_line_len but not max), %5==4 clean (keep).
+
+
+def _code_files(docs: DataFrame) -> DataFrame:
+    from .analysis.analyzer import tokens_array_expr
+
+    toks = tokens_array_expr(F.col("text"))
+    n_chunks = F.ceil(F.size(toks) / F.lit(PARA_TOKENS)).cast("int")
+    chunks = F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(
+                F.slice(toks, i * PARA_TOKENS + 1, PARA_TOKENS), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    body = F.array_join(chunks, "\n")
+    d = F.col("doc_id") % 5
+    content = (
+        F.when(d == 0, F.concat(body, F.lit("\nDO NOT EDIT")))
+        .when(d == 1, F.concat(body, F.lit("\n"), F.repeat(F.lit("x"), 1200)))
+        .when(d == 2, F.concat(body, F.lit("\n"),
+                               F.repeat(F.lit(";;;;;;;;; \n"), 180)))
+        .when(d == 3, F.concat(body, F.lit("\n"), F.repeat(F.lit("y"), 999)))
+        .otherwise(body)
+    )
+    return docs.select("doc_id", content.alias("content"))
+
+
+def q_code_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stack-style code-file curation filters (quality.code_quality):
+    per-line stats from transform/array_max/aggregate over ONE split —
+    a pure map-side projection, no shuffle anywhere (the shape a 100-TB
+    curation pass wants).  keep ANDs the four published rules."""
+    out = quality.code_quality(_code_files(_docs(spark, sf_dir)),
+                               "content", "doc_id")
+    return out.select(F.col("id").cast("long").alias("id"),
+                      "n_lines", "max_line_len", "avg_line_len",
+                      "alnum_frac", "autogen", "keep")
+
+
+SQL_CODE_QUALITY = """
+WITH tokarr AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(regexp_replace(regexp_replace(text,
+             '[^\\p{L}\\p{Nd}]+', ' ', 'g'), '[0-9]', ' ', 'g'))), ' +'),
+             t -> t <> '') AS toks
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id,
+         list_transform(range(CAST(ceil(len(toks) / 8.0) AS BIGINT)),
+                        i -> array_to_string(list_slice(toks, i * 8 + 1, i * 8 + 8), ' ')) AS cs
+  FROM tokarr
+),
+bodies AS (SELECT doc_id, array_to_string(cs, chr(10)) AS body FROM chunks),
+files AS (
+  SELECT doc_id,
+         CASE doc_id % 5
+           WHEN 0 THEN body || chr(10) || 'DO NOT EDIT'
+           WHEN 1 THEN body || chr(10) || repeat('x', 1200)
+           WHEN 2 THEN body || chr(10) || repeat(';;;;;;;;; ' || chr(10), 180)
+           WHEN 3 THEN body || chr(10) || repeat('y', 999)
+           ELSE body END AS content
+  FROM bodies
+),
+stats AS (
+  SELECT doc_id, content,
+         string_split(content, chr(10)) AS ls
+  FROM files
+)
+SELECT CAST(doc_id AS BIGINT) AS id,
+       CAST(len(ls) AS BIGINT) AS n_lines,
+       CAST(coalesce(list_max(list_transform(ls, s -> len(s))), 0) AS BIGINT) AS max_line_len,
+       round(list_sum(list_transform(ls, s -> len(s)))
+             / greatest(len(ls), 1), 4) AS avg_line_len,
+       round(len(regexp_replace(content, '[^A-Za-z0-9]', '', 'g'))
+             / greatest(len(content), 1), 4) AS alnum_frac,
+       (contains(content, 'DO NOT EDIT') OR contains(content, '@generated')
+        OR contains(content, 'Autogenerated by')) AS autogen,
+       (coalesce(list_max(list_transform(ls, s -> len(s))), 0) <= 1000
+        AND round(list_sum(list_transform(ls, s -> len(s))) / greatest(len(ls), 1), 4) <= 100
+        AND round(len(regexp_replace(content, '[^A-Za-z0-9]', '', 'g')) / greatest(len(content), 1), 4) >= 0.25
+        AND NOT (contains(content, 'DO NOT EDIT') OR contains(content, '@generated')
+                 OR contains(content, 'Autogenerated by'))) AS keep
+FROM stats
+"""
+
+
 # --- paragraph-level exact dedup ----------------------------------------------
 
 #: The synthetic corpus has no newlines, so the paragraph table is derived
@@ -1516,6 +1613,7 @@ TEXTOPS_QUERIES = {
     "source_cap": q_source_cap,
     "token_pack": q_token_pack,
     "paragraph_dedup": q_paragraph_dedup,
+    "code_quality": q_code_quality,
     "unigram_logprob": q_unigram_logprob,
     "tfidf_keywords": q_tfidf_keywords,
     "repetition_ratio": q_repetition_ratio,
@@ -1555,6 +1653,7 @@ TEXTOPS_ORACLES = {
     "source_cap": SQL_SOURCE_CAP,
     "token_pack": SQL_TOKEN_PACK,
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
+    "code_quality": SQL_CODE_QUALITY,
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,
     "tfidf_keywords": _sql_tfidf_keywords(),
     "repetition_ratio": SQL_REPETITION_RATIO,

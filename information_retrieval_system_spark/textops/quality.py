@@ -298,3 +298,54 @@ def unigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
              F.round(F.avg("_lp"), 4).alias("mean_logprob"))
     )
+
+
+#: The-Stack-style code-file curation thresholds (Kocetkov et al. 2022,
+#: "The Stack"; also used by StarCoder's preprocessing): files with any
+#: line over 1000 chars, mean line length over 100, alphanumeric
+#: fraction under 0.25, or an autogenerated marker are dropped from
+#: training sets — they are minified bundles, datafiles, or generated
+#: code, not human-written source.
+CODE_MAX_LINE_LEN = 1000
+CODE_AVG_LINE_LEN = 100.0
+CODE_MIN_ALNUM_FRAC = 0.25
+CODE_AUTOGEN_MARKERS = ("DO NOT EDIT", "@generated", "Autogenerated by")
+
+
+def code_quality(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Stack-style code-file quality signals + keep/drop decision.
+
+    -> (id, n_lines, max_line_len, avg_line_len, alnum_frac, autogen,
+    keep).  Pure column expressions over one ``split('\\n')`` — per-line
+    stats come from ``transform``/``array_max``/``aggregate`` on the
+    line array (no explode, no shuffle: the whole filter is a map-side
+    projection, which is exactly what a 100-TB curation pass wants).
+
+    ``alnum_frac`` counts ``[A-Za-z0-9]`` over total chars;
+    ``autogen`` is a marker containment check (case-sensitive, as the
+    published filters are).  ``keep`` ANDs the four rules above."""
+    lines = F.split(F.col(text_col), "\n")
+    lens = F.transform(lines, lambda s: F.length(s))
+    n_chars = F.length(F.col(text_col))
+    n_alnum = F.length(F.regexp_replace(F.col(text_col), "[^A-Za-z0-9]", ""))
+    autogen = None
+    for m in CODE_AUTOGEN_MARKERS:
+        c = F.col(text_col).contains(m)
+        autogen = c if autogen is None else (autogen | c)
+    out = df.select(
+        F.col(id_col).alias("id"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.coalesce(F.array_max(lens), F.lit(0)).cast("long").alias("max_line_len"),
+        F.round(
+            F.aggregate(lens, F.lit(0).cast("long"), lambda a, x: a + x)
+            / F.greatest(F.size(lines), F.lit(1)), 4).alias("avg_line_len"),
+        F.round(n_alnum / F.greatest(n_chars, F.lit(1)), 4).alias("alnum_frac"),
+        autogen.alias("autogen"),
+    )
+    return out.withColumn(
+        "keep",
+        (F.col("max_line_len") <= CODE_MAX_LINE_LEN)
+        & (F.col("avg_line_len") <= CODE_AVG_LINE_LEN)
+        & (F.col("alnum_frac") >= CODE_MIN_ALNUM_FRAC)
+        & ~F.col("autogen"),
+    )

@@ -678,3 +678,26 @@ def test_unigram_logprob_matches_handcomputed(spark):
         3: (1, round(math.log(p["aa"]), 4)),
     }
     assert got == exp
+
+
+def test_code_quality_rules(spark):
+    """Each published Stack rule drops independently; a clean multi-line
+    file keeps."""
+    from information_retrieval_system_spark.textops.quality import code_quality
+
+    clean = "short line\n" * 3
+    rows = [
+        (1, clean.rstrip()),
+        (2, clean + "x" * 1200),                  # max_line_len > 1000
+        (3, clean + "y" * 999),                   # avg pushed over 100, max ok
+        (4, clean + (";;;;;;;;; \n" * 180)),      # alnum_frac < 0.25
+        (5, clean + "DO NOT EDIT"),               # autogen marker
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.id: r for r in code_quality(docs, "text", "doc_id").collect()}
+    assert got[1].keep and not got[1].autogen
+    assert not got[2].keep and got[2].max_line_len == 1200
+    assert not got[3].keep and got[3].max_line_len == 999 \
+        and got[3].avg_line_len > 100
+    assert not got[4].keep and got[4].alnum_frac < 0.25
+    assert not got[5].keep and got[5].autogen
