@@ -650,6 +650,35 @@ FROM documents WHERE contains(text, '{TRIGRAM_NEEDLE}')
 """
 
 
+BATCH_NEEDLES = {1: "spark join", 2: "merge window", 3: "zzz never",
+                 4: "stream batch"}
+
+
+def q_batch_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-query-set substring search in ONE plan (the batch
+    amortization story applied to the trigram path): all needles' grams
+    ship as one tagged broadcast table, one postings pass, one
+    candidate-restricted column-wise contains() verify.  Needle 3 has
+    zero hits — the empty-result qid grades too (by absence)."""
+    from .index.trigram import batch_substring_search
+
+    posts = _trigram_served(spark, sf_dir)
+    docs = EQ.load_documents(spark, sf_dir)
+    out = batch_substring_search(posts, docs, BATCH_NEEDLES, "text", "doc_id",
+                                 gram_buckets=TRIGRAM_BUCKETS)
+    return out.select(F.col("qid").cast("long").alias("qid"),
+                      F.col("doc_id").cast("long").alias("doc_id"))
+
+
+SQL_BATCH_TRIGRAM_SEARCH = """
+SELECT CAST(q.qid AS BIGINT) AS qid, CAST(d.doc_id AS BIGINT) AS doc_id
+FROM documents d,
+     (VALUES (1, 'spark join'), (2, 'merge window'), (3, 'zzz never'),
+             (4, 'stream batch')) q(qid, needle)
+WHERE contains(d.text, q.needle)
+"""
+
+
 def q_regex_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact regex search with the trigram literal-run prefilter
     (conservative Cox compilation: extracted literals are REQUIRED, so
@@ -695,6 +724,7 @@ SERVING_QUERIES = {
     "symbol_search": q_symbol_search,
     "subtoken_tf": q_subtoken_tf,
     "trigram_search": q_trigram_search,
+    "batch_trigram_search": q_batch_trigram_search,
     "regex_search": q_regex_search,
     "trigram_stats": q_trigram_stats,
     "impact_topk": q_impact_topk,
@@ -721,6 +751,7 @@ FROM sym GROUP BY 1, 2, 3"""),
 FROM sym WHERE symbol = 'parse_query' GROUP BY 1, 2"""),
     "subtoken_tf": _sql_subtoken_tf(),
     "trigram_search": SQL_TRIGRAM_SEARCH,
+    "batch_trigram_search": SQL_BATCH_TRIGRAM_SEARCH,
     "regex_search": SQL_REGEX_SEARCH,
     "trigram_stats": SQL_TRIGRAM_STATS,
     "impact_topk": _sql_impact_topk(),

@@ -325,3 +325,58 @@ def glob_search(postings: DataFrame, docs: DataFrame, glob: str,
     return regex_search(postings, docs, glob_to_regex(glob), text_col,
                         id_col, max_grams=max_grams,
                         gram_buckets=gram_buckets)
+
+
+def batch_substring_search(postings: DataFrame, docs: DataFrame,
+                           needles: dict, text_col: str, id_col: str,
+                           gram_buckets: int | None = None) -> DataFrame:
+    """Whole-query-SET substring search in ONE plan -> (qid, doc_id).
+
+    The batch amortization story applied to the trigram path: all
+    needles' grams ship as one small tagged table (qid, gram, n_grams),
+    the postings scan is filtered ONCE to the union of grams (plus the
+    union of their buckets on a bucketed layout), candidates come from a
+    single groupBy(qid, doc) count, and the verify filter evaluates
+    ``contains(text, needle)`` with the needle as a COLUMN — so a
+    thousand substring queries cost one postings pass and one
+    candidate-restricted verify, not a thousand driver round-trips.
+
+    Needles shorter than 3 chars take the documented full-scan branch,
+    unioned in (still one job)."""
+    spark = docs.sparkSession
+    long_n = {q: n for q, n in needles.items() if len(n) >= 3}
+    short_n = {q: n for q, n in needles.items() if len(n) < 3}
+    parts = []
+    if long_n:
+        rows = [(q, g, n, len(_needle_grams(n)))
+                for q, n in long_n.items() for g in _needle_grams(n)]
+        gdf = spark.createDataFrame(
+            rows, "qid long, gram string, needle string, n_grams int")
+        p = postings
+        grams = sorted({g for _, g, _, _ in rows})
+        if gram_buckets is not None and "gbucket" in p.columns:
+            buckets = sorted({_py_bucket_of(g, gram_buckets) for g in grams})
+            p = p.filter(F.col("gbucket").isin(buckets))
+        cand = (p.filter(F.col("gram").isin(grams))
+                 .join(F.broadcast(gdf), "gram")
+                 .groupBy("qid", "doc_id")
+                 .agg(F.count("*").alias("_ng"), F.max("n_grams").alias("_need"),
+                      F.max("needle").alias("needle"))
+                 .filter(F.col("_ng") == F.col("_need"))
+                 .select("qid", "doc_id", "needle"))
+        parts.append(
+            cand.join(docs.select(F.col(id_col).alias("doc_id"),
+                                  F.col(text_col).alias("_text")), "doc_id")
+                .filter(F.contains(F.col("_text"), F.col("needle")))
+                .select("qid", "doc_id"))
+    if short_n:
+        sdf = spark.createDataFrame(list(short_n.items()),
+                                    "qid long, needle string")
+        parts.append(
+            docs.crossJoin(F.broadcast(sdf))
+                .filter(F.contains(F.col(text_col), F.col("needle")))
+                .select("qid", F.col(id_col).alias("doc_id")))
+    out = parts[0]
+    for extra in parts[1:]:
+        out = out.unionByName(extra)
+    return out

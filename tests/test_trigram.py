@@ -156,3 +156,19 @@ def test_glob_search_matches_fnmatch_substring(posts, docs):
                glob_search(posts, docs, pat, "text", "doc_id").collect()}
         truth = {i for i, t in DOCS if re.search(glob_to_regex(pat), t)}
         assert got == truth, pat
+
+
+def test_batch_substring_matches_per_needle(posts, docs):
+    from information_retrieval_system_spark.index.trigram import (
+        batch_substring_search,
+    )
+
+    needles = {1: "spark join", 2: "merge", 3: "zzz never", 4: "xy"}
+    got = {(r.qid, r.doc_id) for r in
+           batch_substring_search(posts, docs, needles, "text",
+                                  "doc_id").collect()}
+    truth = {(q, i) for q, n in needles.items()
+             for i, t in DOCS if n in t}
+    assert got == truth
+    assert not any(q == 3 for q, _ in got)    # no-hit needle stays empty
+    assert (4, 4) in got                      # short needle via full-scan branch
