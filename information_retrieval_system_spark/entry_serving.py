@@ -699,6 +699,49 @@ FROM documents WHERE regexp_matches(text, '{TRIGRAM_REGEX}')
 """
 
 
+def q_grep_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grep-style per-line hits for "spark join" over the line-chunked
+    corpus (the multi-line derivation the code_quality gate uses, no
+    tails): the line explode runs ONLY on trigram-candidate docs —
+    semi-join first, posexplode after."""
+    from .entry_textops import _code_files
+    from .index.trigram import grep_lines, trigram_postings
+
+    files = _code_files(EQ.load_documents(spark, sf_dir), tails=False)
+    posts = trigram_postings(files, "content", "doc_id")
+    out = grep_lines(posts, files, TRIGRAM_NEEDLE, "content", "doc_id")
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      "line_no", "line")
+
+
+SQL_GREP_LINES = f"""
+WITH tokarr AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(regexp_replace(regexp_replace(text,
+             '[^\\p{{L}}\\p{{Nd}}]+', ' ', 'g'), '[0-9]', ' ', 'g'))), ' +'),
+             t -> t <> '') AS toks
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id,
+         list_transform(range(CAST(ceil(len(toks) / 8.0) AS BIGINT)),
+                        i -> array_to_string(list_slice(toks, i * 8 + 1, i * 8 + 8), ' ')) AS cs
+  FROM tokarr
+),
+lines AS (
+  SELECT doc_id, pos AS line_no, ln
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(len(cs)),
+                      i -> {{'pos': i, 'ln': cs[i + 1]}}), recursive := true)
+        FROM chunks)
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(line_no AS BIGINT) AS line_no,
+       ln AS line
+FROM lines WHERE contains(ln, '{TRIGRAM_NEEDLE}')
+"""
+
+
 def q_trigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trigram df stats off the served postings (the table a planner
     orders needle grams by); deterministic (df desc, gram asc) top-20."""
@@ -725,6 +768,7 @@ SERVING_QUERIES = {
     "subtoken_tf": q_subtoken_tf,
     "trigram_search": q_trigram_search,
     "batch_trigram_search": q_batch_trigram_search,
+    "grep_lines": q_grep_lines,
     "regex_search": q_regex_search,
     "trigram_stats": q_trigram_stats,
     "impact_topk": q_impact_topk,
@@ -752,6 +796,7 @@ FROM sym WHERE symbol = 'parse_query' GROUP BY 1, 2"""),
     "subtoken_tf": _sql_subtoken_tf(),
     "trigram_search": SQL_TRIGRAM_SEARCH,
     "batch_trigram_search": SQL_BATCH_TRIGRAM_SEARCH,
+    "grep_lines": SQL_GREP_LINES,
     "regex_search": SQL_REGEX_SEARCH,
     "trigram_stats": SQL_TRIGRAM_STATS,
     "impact_topk": _sql_impact_topk(),

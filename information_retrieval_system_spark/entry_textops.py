@@ -1433,7 +1433,7 @@ GROUP BY r.doc_id
 #: %5==3 a 999-char line (avg_line_len but not max), %5==4 clean (keep).
 
 
-def _code_files(docs: DataFrame) -> DataFrame:
+def _code_files(docs: DataFrame, tails: bool = True) -> DataFrame:
     from .analysis.analyzer import tokens_array_expr
 
     toks = tokens_array_expr(F.col("text"))
@@ -1447,6 +1447,8 @@ def _code_files(docs: DataFrame) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     body = F.array_join(chunks, "\n")
+    if not tails:
+        return docs.select("doc_id", body.alias("content"))
     d = F.col("doc_id") % 5
     content = (
         F.when(d == 0, F.concat(body, F.lit("\nDO NOT EDIT")))

@@ -380,3 +380,27 @@ def batch_substring_search(postings: DataFrame, docs: DataFrame,
     for extra in parts[1:]:
         out = out.unionByName(extra)
     return out
+
+
+def grep_lines(postings: DataFrame, docs: DataFrame, needle: str,
+               text_col: str, id_col: str,
+               max_grams: int | None = 8,
+               gram_buckets: int | None = None) -> DataFrame:
+    """grep-style output for a substring query -> (doc_id, line_no,
+    line): every line containing ``needle`` in every matching doc,
+    0-based line numbers.
+
+    The line explode happens ONLY on trigram-candidate docs (semi-join
+    first, posexplode after) — the expensive per-line pass never touches
+    non-matching docs, so cost tracks matches, not corpus size."""
+    if len(needle) >= 3:
+        grams = _rarest_grams(postings, _needle_grams(needle), max_grams)
+        cand = _candidates(postings, grams, gram_buckets)
+        docs = docs.join(cand, docs[id_col] == cand["doc_id"], "left_semi")
+    return (docs.select(
+                F.col(id_col).alias("doc_id"),
+                F.posexplode(F.split(F.col(text_col), "\n"))
+                 .alias("line_no", "line"))
+            .filter(F.col("line").contains(needle))
+            .select("doc_id", F.col("line_no").cast("long").alias("line_no"),
+                    "line"))

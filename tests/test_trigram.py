@@ -172,3 +172,18 @@ def test_batch_substring_matches_per_needle(posts, docs):
     assert got == truth
     assert not any(q == 3 for q, _ in got)    # no-hit needle stays empty
     assert (4, 4) in got                      # short needle via full-scan branch
+
+
+def test_grep_lines_numbers_and_restriction(spark, posts):
+    from information_retrieval_system_spark.index.trigram import grep_lines
+
+    rows = [(1, "alpha\nspark join here\nomega\nspark join again"),
+            (2, "no match\nat all"),
+            (3, "spark join")]
+    mdocs = spark.createDataFrame(rows, "doc_id long, text string")
+    from information_retrieval_system_spark.index.trigram import trigram_postings
+    mposts = trigram_postings(mdocs, "text", "doc_id")
+    got = {(r.doc_id, r.line_no, r.line) for r in
+           grep_lines(mposts, mdocs, "spark join", "text", "doc_id").collect()}
+    assert got == {(1, 1, "spark join here"), (1, 3, "spark join again"),
+                   (3, 0, "spark join")}
