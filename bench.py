@@ -84,7 +84,7 @@ def run_suite(parallelism: int, sf_dir: str) -> dict:
     import tempfile
 
     from information_retrieval_system_spark.index.trigram import (
-        read_trigram_index, regex_search, substring_search,
+        read_gram_df, read_trigram_index, regex_search, substring_search,
         trigram_postings, write_trigram_index)
 
     tri_out = os.path.join(tempfile.gettempdir(), f"bench_trigram_{os.getpid()}")
@@ -93,13 +93,14 @@ def run_suite(parallelism: int, sf_dir: str) -> dict:
                         gram_buckets=16)
     timings["trigram_build_write"] = round(time.perf_counter() - t0, 4)
     posts = read_trigram_index(spark, tri_out)
+    gdf = read_gram_df(spark, tri_out)
     t0 = time.perf_counter()
     substring_search(posts, docs, "spark join", "text", "doc_id",
-                     gram_buckets=16).count()
+                     gram_buckets=16, gram_df=gdf).count()
     timings["trigram_substring"] = round(time.perf_counter() - t0, 4)
     t0 = time.perf_counter()
     regex_search(posts, docs, "spark [a-z]+ join", "text", "doc_id",
-                 gram_buckets=16).count()
+                 gram_buckets=16, gram_df=gdf).count()
     timings["trigram_regex"] = round(time.perf_counter() - t0, 4)
 
     EQ._index_cache.clear()

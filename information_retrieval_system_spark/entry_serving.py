@@ -614,10 +614,13 @@ TRIGRAM_REGEX = "spark [a-z]+ join"
 TRIGRAM_BUCKETS = 8
 
 
-def _trigram_served(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Build + persist the gram-bucketed trigram postings once per sf_dir,
-    then serve from the partition-pruned read path (index/trigram.py)."""
-    from .index.trigram import read_trigram_index, trigram_postings, write_trigram_index
+def _trigram_served(spark: SparkSession, sf_dir: str):
+    """Build + persist the gram-bucketed trigram layout (postings +
+    build-time gramdf table) once per sf_dir, then serve from the
+    partition-pruned read path (index/trigram.py).  -> (postings,
+    gram_df)."""
+    from .index.trigram import (read_gram_df, read_trigram_index,
+                                trigram_postings, write_trigram_index)
 
     key = f"trigram:{sf_dir}"
     if key not in _SERVE_CACHE:
@@ -626,7 +629,8 @@ def _trigram_served(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = os.path.join(tempfile.gettempdir(), "irs_trigram", _TMP_TAG,
                            sf_dir.strip("/").replace("/", "_"))
         write_trigram_index(posts, out, gram_buckets=TRIGRAM_BUCKETS)
-        _SERVE_CACHE[key] = read_trigram_index(spark, out)
+        _SERVE_CACHE[key] = (read_trigram_index(spark, out),
+                             read_gram_df(spark, out))
     return _SERVE_CACHE[key]
 
 
@@ -637,10 +641,10 @@ def q_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantic ground truth (a full-scan contains)."""
     from .index.trigram import substring_search
 
-    posts = _trigram_served(spark, sf_dir)
+    posts, gdf = _trigram_served(spark, sf_dir)
     docs = EQ.load_documents(spark, sf_dir)
     out = substring_search(posts, docs, TRIGRAM_NEEDLE, "text", "doc_id",
-                           gram_buckets=TRIGRAM_BUCKETS)
+                           gram_buckets=TRIGRAM_BUCKETS, gram_df=gdf)
     return out.select(F.col("doc_id").cast("long").alias("doc_id"))
 
 
@@ -662,7 +666,7 @@ def q_batch_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero hits — the empty-result qid grades too (by absence)."""
     from .index.trigram import batch_substring_search
 
-    posts = _trigram_served(spark, sf_dir)
+    posts, _ = _trigram_served(spark, sf_dir)
     docs = EQ.load_documents(spark, sf_dir)
     out = batch_substring_search(posts, docs, BATCH_NEEDLES, "text", "doc_id",
                                  gram_buckets=TRIGRAM_BUCKETS)
@@ -686,10 +690,10 @@ def q_regex_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern stays in the Java∩RE2 subset so DuckDB grades it."""
     from .index.trigram import regex_search
 
-    posts = _trigram_served(spark, sf_dir)
+    posts, gdf = _trigram_served(spark, sf_dir)
     docs = EQ.load_documents(spark, sf_dir)
     out = regex_search(posts, docs, TRIGRAM_REGEX, "text", "doc_id",
-                       gram_buckets=TRIGRAM_BUCKETS)
+                       gram_buckets=TRIGRAM_BUCKETS, gram_df=gdf)
     return out.select(F.col("doc_id").cast("long").alias("doc_id"))
 
 
@@ -747,7 +751,7 @@ def q_trigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders needle grams by); deterministic (df desc, gram asc) top-20."""
     from .index.trigram import trigram_df_stats
 
-    return trigram_df_stats(_trigram_served(spark, sf_dir), top_n=20)
+    return trigram_df_stats(_trigram_served(spark, sf_dir)[0], top_n=20)
 
 
 SQL_TRIGRAM_STATS = """

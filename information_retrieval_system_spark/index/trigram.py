@@ -66,58 +66,116 @@ def trigram_postings(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def write_trigram_index(postings: DataFrame, path: str, gram_buckets: int = 16) -> None:
-    """Persist postings partitioned by ``gbucket = pmod(hash(gram), B)``
-    so a query scans only its needle grams' partitions (Iceberg-shaped
-    bucket layout, same contract as the BM25 term buckets)."""
-    (postings
-     .withColumn("gbucket", F.pmod(F.hash("gram"), F.lit(gram_buckets)))
+    """Persist the layout: ``<path>/postings`` partitioned by
+    ``gbucket = pmod(hash(gram), B)`` (a query scans only its needle
+    grams' partitions — the BM25 term-bucket contract) plus
+    ``<path>/gramdf``, the vocabulary-sized per-gram df table bucketed
+    the same way.  The df table is what makes query-time gram selection
+    CHEAP: looking dfs up against the postings themselves re-scans
+    millions of rows (measured: the lookup job cost as much as the
+    candidate scan it was trying to save), while the gramdf scan is
+    needle-sized."""
+    bucketed = postings.withColumn(
+        "gbucket", F.pmod(F.hash("gram"), F.lit(gram_buckets)))
+    (bucketed.repartition("gbucket")
+     .write.mode("overwrite")
+     .partitionBy("gbucket")
+     .parquet(os.path.join(path, "postings")))
+    # aggregate the df table from the WRITTEN postings, not the input
+    # plan — re-evaluating `postings` would re-run the whole trigram
+    # explode (measured: doubled the build), while the parquet scan is
+    # a compact re-read that partial-aggregates in place (rows are
+    # already co-located by gbucket)
+    written = postings.sparkSession.read.parquet(os.path.join(path, "postings"))
+    (written.groupBy("gram", "gbucket")
+     .agg(F.count("*").cast("long").alias("df"))
      .repartition("gbucket")
      .write.mode("overwrite")
      .partitionBy("gbucket")
-     .parquet(path))
+     .parquet(os.path.join(path, "gramdf")))
 
 
 def read_trigram_index(spark: SparkSession, path: str) -> DataFrame:
-    """Read the bucketed layout back; keeps ``gbucket`` so searches can
-    partition-filter on it."""
-    return spark.read.parquet(path)
+    """Read the bucketed postings back; keeps ``gbucket`` so searches
+    can partition-filter on it.  Accepts both the current layout
+    (``<path>/postings``) and a bare postings directory."""
+    sub = os.path.join(path, "postings")
+    return spark.read.parquet(sub if os.path.isdir(sub) else path)
+
+
+def read_gram_df(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read the per-gram df table, or None for a layout without one."""
+    sub = os.path.join(path, "gramdf")
+    return spark.read.parquet(sub) if os.path.isdir(sub) else None
 
 
 def _needle_grams(needle: str) -> list[str]:
     return sorted({needle[i:i + 3] for i in range(len(needle) - 2)})
 
 
-def _rarest_grams(postings: DataFrame, grams: list[str], max_grams: int | None) -> list[str]:
-    """Keep the ``max_grams`` rarest grams by df.  The df lookup is one
-    driver job over a needle-sized filter (|grams| rows back) — the
-    bounded term-stats pattern, never corpus-sized."""
-    if max_grams is None or len(grams) <= max_grams:
+#: a gram whose df exceeds this multiple of the rarest kept gram's df
+#: adds scan volume without shrinking candidates much — drop it
+_GRAM_DF_RATIO = 8
+
+
+def _rarest_grams(postings: DataFrame, grams: list[str], max_grams: int | None,
+                  gram_df: DataFrame | None = None) -> list[str]:
+    """df-adaptive gram selection: keep grams rarest-first while (a) at
+    most ``max_grams`` are kept and (b) the next gram's df stays within
+    ``_GRAM_DF_RATIO``x of the rarest's — a hot gram (``'tf '`` at 50%
+    df) multiplies the posting scan without shrinking the candidate set
+    the rare grams already pinned (measured at 600k docs: 6 grams
+    5.0 s -> 2 grams 1.7 s, same 7 hits).  At least two grams are kept
+    when available (one gram alone can't intersect).  The df lookup
+    reads the build-time ``gramdf`` table when available (needle-sized
+    scan); falling back to aggregating the postings is supported but
+    costs a bucket-sized scan — persist the df table for serving.
+    ``max_grams=None`` disables selection entirely (no lookup job).
+
+    Correctness is unaffected either way: every gram is REQUIRED, so
+    any subset yields a candidate superset and verification is exact."""
+    if max_grams is None or len(grams) <= 2:
         return grams
-    dfs = {r["gram"]: r["df"] for r in
-           postings.filter(F.col("gram").isin(grams))
-                   .groupBy("gram").agg(F.count("*").alias("df"))
-                   .collect()}
+    if gram_df is not None:
+        dfs = {r["gram"]: r["df"] for r in
+               gram_df.filter(F.col("gram").isin(grams)).collect()}
+    else:
+        dfs = {r["gram"]: r["df"] for r in
+               postings.filter(F.col("gram").isin(grams))
+                       .groupBy("gram").agg(F.count("*").alias("df"))
+                       .collect()}
     # a gram absent from the index has df 0 => no doc can match; keep it
     # so the intersection correctly empties out
-    return sorted(grams, key=lambda g: (dfs.get(g, 0), g))[:max_grams]
+    ordered = sorted(grams, key=lambda g: (dfs.get(g, 0), g))
+    cap = _GRAM_DF_RATIO * (dfs.get(ordered[0], 0) + 1)
+    keep = [g for i, g in enumerate(ordered[:max_grams])
+            if i < 2 or dfs.get(g, 0) <= cap]
+    return keep
 
 
-def _candidates(postings: DataFrame, grams: list[str],
-                gram_buckets: int | None = None) -> DataFrame:
+def _bucket_pruned(postings: DataFrame, grams: list[str],
+                   gram_buckets: int | None) -> DataFrame:
+    """Apply the ``gbucket`` partition filter for ``grams`` ONCE —
+    upstream of BOTH the rarest-gram df lookup and the candidate scan
+    (pruning only the candidate scan left the df lookup reading every
+    partition)."""
+    if gram_buckets is not None and "gbucket" in postings.columns:
+        buckets = sorted({_py_bucket_of(g, gram_buckets) for g in grams})
+        return postings.filter(F.col("gbucket").isin(buckets))
+    return postings
+
+
+def _candidates(postings: DataFrame, grams: list[str]) -> DataFrame:
     """Docs containing ALL ``grams``: filter postings to the gram set
     (isin over literals — pushed to the scan), groupBy(doc) HAVING
     count == n.  Grams are distinct per doc by construction, so a plain
-    count is the intersection test.  With a bucketed layout the
-    ``gbucket`` filter prunes partitions before the scan."""
-    p = postings
-    if gram_buckets is not None and "gbucket" in p.columns:
-        buckets = sorted({_py_bucket_of(g, gram_buckets) for g in grams})
-        p = p.filter(F.col("gbucket").isin(buckets))
-    return (p.filter(F.col("gram").isin(grams))
-             .groupBy("doc_id")
-             .agg(F.count("*").alias("_ng"))
-             .filter(F.col("_ng") == len(grams))
-             .select("doc_id"))
+    count is the intersection test.  Callers bucket-prune via
+    ``_bucket_pruned`` first."""
+    return (postings.filter(F.col("gram").isin(grams))
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("_ng"))
+            .filter(F.col("_ng") == len(grams))
+            .select("doc_id"))
 
 
 def _py_bucket_of(gram: str, buckets: int) -> int:
@@ -140,7 +198,8 @@ _BUCKET_CACHE: dict[tuple[str, int], int] = {}
 def substring_search(postings: DataFrame, docs: DataFrame, needle: str,
                      text_col: str, id_col: str,
                      max_grams: int | None = 8,
-                     gram_buckets: int | None = None) -> DataFrame:
+                     gram_buckets: int | None = None,
+                     gram_df: DataFrame | None = None) -> DataFrame:
     """Exact substring search: trigram AND-intersection candidates, then
     ``contains`` verification restricted to the candidate set.
 
@@ -151,8 +210,11 @@ def substring_search(postings: DataFrame, docs: DataFrame, needle: str,
     if len(needle) < 3:
         return docs.filter(F.col(text_col).contains(needle)) \
                    .select(F.col(id_col).alias("doc_id"))
-    grams = _rarest_grams(postings, _needle_grams(needle), max_grams)
-    cand = _candidates(postings, grams, gram_buckets)
+    p = _bucket_pruned(postings, _needle_grams(needle), gram_buckets)
+    gdf = _bucket_pruned(gram_df, _needle_grams(needle), gram_buckets) \
+        if gram_df is not None else None
+    grams = _rarest_grams(p, _needle_grams(needle), max_grams, gram_df=gdf)
+    cand = _candidates(p, grams)
     return (docs.join(cand, docs[id_col] == cand["doc_id"], "left_semi")
                 .filter(F.col(text_col).contains(needle))
                 .select(F.col(id_col).alias("doc_id")))
@@ -271,7 +333,8 @@ def regex_required_literals(pattern: str) -> list[str]:
 def regex_search(postings: DataFrame, docs: DataFrame, pattern: str,
                  text_col: str, id_col: str,
                  max_grams: int | None = 8,
-                 gram_buckets: int | None = None) -> DataFrame:
+                 gram_buckets: int | None = None,
+                 gram_df: DataFrame | None = None) -> DataFrame:
     """Exact regex search with a trigram prefilter when the pattern
     yields literal runs >= 3 chars; otherwise a documented full-scan
     ``rlike`` (still exact).  -> (doc_id)."""
@@ -279,8 +342,11 @@ def regex_search(postings: DataFrame, docs: DataFrame, pattern: str,
     base = docs
     if lits:
         grams = sorted({g for lit in lits for g in _needle_grams(lit)})
-        grams = _rarest_grams(postings, grams, max_grams)
-        cand = _candidates(postings, grams, gram_buckets)
+        p = _bucket_pruned(postings, grams, gram_buckets)
+        gdf = _bucket_pruned(gram_df, grams, gram_buckets) \
+            if gram_df is not None else None
+        grams = _rarest_grams(p, grams, max_grams, gram_df=gdf)
+        cand = _candidates(p, grams)
         base = docs.join(cand, docs[id_col] == cand["doc_id"], "left_semi")
     return (base.filter(F.col(text_col).rlike(pattern))
                 .select(F.col(id_col).alias("doc_id")))
@@ -319,12 +385,13 @@ def glob_to_regex(glob: str) -> str:
 def glob_search(postings: DataFrame, docs: DataFrame, glob: str,
                 text_col: str, id_col: str,
                 max_grams: int | None = 8,
-                gram_buckets: int | None = None) -> DataFrame:
+                gram_buckets: int | None = None,
+                gram_df: DataFrame | None = None) -> DataFrame:
     """Wildcard search (``spark*join``) through the trigram prefilter —
     a thin translation onto ``regex_search``.  -> (doc_id)."""
     return regex_search(postings, docs, glob_to_regex(glob), text_col,
                         id_col, max_grams=max_grams,
-                        gram_buckets=gram_buckets)
+                        gram_buckets=gram_buckets, gram_df=gram_df)
 
 
 def batch_substring_search(postings: DataFrame, docs: DataFrame,
@@ -385,7 +452,8 @@ def batch_substring_search(postings: DataFrame, docs: DataFrame,
 def grep_lines(postings: DataFrame, docs: DataFrame, needle: str,
                text_col: str, id_col: str,
                max_grams: int | None = 8,
-               gram_buckets: int | None = None) -> DataFrame:
+               gram_buckets: int | None = None,
+               gram_df: DataFrame | None = None) -> DataFrame:
     """grep-style output for a substring query -> (doc_id, line_no,
     line): every line containing ``needle`` in every matching doc,
     0-based line numbers.
@@ -394,8 +462,11 @@ def grep_lines(postings: DataFrame, docs: DataFrame, needle: str,
     first, posexplode after) — the expensive per-line pass never touches
     non-matching docs, so cost tracks matches, not corpus size."""
     if len(needle) >= 3:
-        grams = _rarest_grams(postings, _needle_grams(needle), max_grams)
-        cand = _candidates(postings, grams, gram_buckets)
+        p = _bucket_pruned(postings, _needle_grams(needle), gram_buckets)
+        gdf = _bucket_pruned(gram_df, _needle_grams(needle), gram_buckets) \
+            if gram_df is not None else None
+        grams = _rarest_grams(p, _needle_grams(needle), max_grams, gram_df=gdf)
+        cand = _candidates(p, grams)
         docs = docs.join(cand, docs[id_col] == cand["doc_id"], "left_semi")
     return (docs.select(
                 F.col(id_col).alias("doc_id"),
