@@ -419,6 +419,87 @@ GROUP BY 1, 2
 """
 
 
+# --- composed code-corpus pipeline: ingest -> HEAD -> curate -> rank --------------
+
+
+def q_code_pipeline_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The code-tier lifecycle composed end-to-end in one flow: the
+    multi-line code corpus arrives at two versions per file (stale +
+    current), HEAD resolution keeps the newest (`latest_file_version`,
+    map-side max_by), the Stack quality filters drop the pathological
+    bands (`code_quality`), and BM25 top-k runs over ONLY the surviving
+    files (index built on the curated sub-corpus — its df/N/avgdl stats
+    reflect what curation kept, exactly like a production rebuild after
+    a curation pass).
+
+    The oracle recomputes keep from scratch (the code_quality CTE) and
+    scores the survivors — two compositions, one answer."""
+    from .entry_textops import _code_files
+    from .sources.corpus import latest_file_version
+    from .textops.quality import code_quality
+
+    key = f"codepipe:{sf_dir}"
+    if key not in _SERVE_CACHE:
+        files = _code_files(EQ.load_documents(spark, sf_dir), tails=True)
+        vers = files.select(
+            "doc_id",
+            F.explode(F.array(F.lit(0), F.lit(1))).alias("version"),
+            "content",
+        ).select(
+            "doc_id", "version",
+            F.when(F.col("version") == 1, F.col("content"))
+             .otherwise(F.concat(F.lit("stale "), F.col("content")))
+             .alias("content"))
+        head = latest_file_version(vers, version_col="version",
+                                   keys=("doc_id",))
+        kept_ids = (code_quality(head, "content", "doc_id")
+                    .filter("keep").select(F.col("id").alias("doc_id")))
+        kept = head.join(kept_ids, "doc_id", "left_semi")
+        _SERVE_CACHE[key] = B.build_index(
+            kept, EQ.NOSTEM_CFG, doc_col="doc_id", text_col="content",
+            with_positions=False)
+    ix = _SERVE_CACHE[key]
+    res = scoring.bm25_search(ix, EQ.query_terms_df(spark), k=EQ.TOPK,
+                              cfg=EQ.NOSTEM_CFG)
+    return res.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      F.round("score", 4).alias("score"))
+
+
+def _sql_code_pipeline_topk() -> str:
+    from .entry_textops import SQL_CODE_QUALITY
+
+    return f"""
+WITH cq AS ({SQL_CODE_QUALITY}),
+kept AS (SELECT id AS doc_id FROM cq WHERE keep),
+raw AS (
+  SELECT d.doc_id,
+         unnest(string_split_regex(trim(lower(regexp_replace(regexp_replace(d.text,
+             '[^\\p{{L}}\\p{{Nd}}]+', ' ', 'g'), '[0-9]', ' ', 'g'))), ' +')) AS term
+  FROM documents d JOIN kept USING (doc_id)
+),
+toks AS (SELECT doc_id, term FROM raw WHERE term <> ''),
+post AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM post GROUP BY 1),
+dl AS (SELECT k.doc_id, CAST(coalesce(t.dl, 0) AS DOUBLE) AS dl
+       FROM kept k LEFT JOIN (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1) t USING (doc_id)),
+stats AS (SELECT CAST((SELECT count(*) FROM kept) AS DOUBLE) AS n,
+                 CAST((SELECT count(*) FROM toks) // (SELECT count(*) FROM kept) AS DOUBLE) AS avgdl),
+q AS (SELECT unnest({EQ._sql_terms_list()}) AS term),
+scored AS (
+  SELECT p.doc_id,
+         (ln((s.n - f.df + 0.5) / (f.df + 0.5)) / ln(2))
+           * p.tf * ({EQ.K1} + 1)
+           / (p.tf + {EQ.K1} * (1 - {EQ.B} + {EQ.B} * d.dl / s.avgdl)) AS ts
+  FROM post p JOIN q USING (term) JOIN dft f USING (term)
+  JOIN dl d USING (doc_id) CROSS JOIN stats s
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, round(sum(ts), 4) AS score
+FROM scored GROUP BY doc_id
+ORDER BY sum(ts) DESC, doc_id ASC
+LIMIT {EQ.TOPK}
+"""
+
+
 # --- per-repo result rollup -------------------------------------------------------
 
 REPO_TOPK = 10
@@ -765,6 +846,7 @@ FROM g GROUP BY gram ORDER BY df DESC, gram ASC LIMIT 20
 
 
 SERVING_QUERIES = {
+    "code_pipeline_topk": q_code_pipeline_topk,
     "repo_topk": q_repo_topk,
     "latest_file_version": q_latest_file_version,
     "symbol_extract": q_symbol_extract,
@@ -787,6 +869,7 @@ SERVING_QUERIES = {
 }
 
 SERVING_ORACLES = {
+    "code_pipeline_topk": _sql_code_pipeline_topk(),
     "repo_topk": SQL_REPO_TOPK,
     "latest_file_version": SQL_LATEST_FILE_VERSION,
     "symbol_extract": _sql_symbols(
