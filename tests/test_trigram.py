@@ -187,3 +187,37 @@ def test_grep_lines_numbers_and_restriction(spark, posts):
            grep_lines(mposts, mdocs, "spark join", "text", "doc_id").collect()}
     assert got == {(1, 1, "spark join here"), (1, 3, "spark join again"),
                    (3, 0, "spark join")}
+
+
+def test_regex_literal_extraction_fuzz_required_property():
+    """THE correctness property of the conservative Cox extraction:
+    for any pattern P and any string S matched by P, every literal in
+    regex_required_literals(P) must appear verbatim in S.  Fuzzed over
+    a deterministic grammar of atoms x quantifiers (pure Python, no
+    Spark)."""
+    import itertools
+    import random
+    import re
+
+    rng = random.Random(60)
+    atoms = ["abc", "de", "f", "[xy]", "\\d", ".", "gh\\.i", "jk"]
+    quants = ["", "", "", "?", "*", "+", "{1,2}", "{0,2}"]
+    # string alphabet biased toward the literals so matches happen
+    fill = ["abc", "de", "f", "x", "y", "7", ".", "gh.i", "jk", "q", " "]
+
+    checked = 0
+    for trial in range(300):
+        pat = "".join(rng.choice(atoms) + rng.choice(quants)
+                      for _ in range(rng.randint(1, 4)))
+        try:
+            cre = re.compile(pat)
+        except re.error:
+            continue
+        lits = regex_required_literals(pat)
+        for _ in range(20):
+            s = "".join(rng.choice(fill) for _ in range(rng.randint(0, 12)))
+            if cre.search(s):
+                checked += 1
+                for lit in lits:
+                    assert lit in s, (pat, lits, s)
+    assert checked > 200  # the fuzz actually exercised matches
