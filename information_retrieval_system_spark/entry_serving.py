@@ -735,6 +735,38 @@ FROM documents WHERE contains(text, '{TRIGRAM_NEEDLE}')
 """
 
 
+def q_appended_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental trigram maintenance EXECUTED: build the layout on
+    doc_id < 250, append the rest as a delta (postings append + gramdf
+    refresh), then substring-search the appended layout — graded
+    against the SAME full-corpus oracle as trigram_search (append must
+    be value-invisible)."""
+    from .index.trigram import (append_trigram_delta, read_gram_df,
+                                read_trigram_index, substring_search,
+                                trigram_postings, write_trigram_index)
+
+    key = f"trigram_app:{sf_dir}"
+    if key not in _SERVE_CACHE:
+        docs = EQ.load_documents(spark, sf_dir)
+        out = os.path.join(tempfile.gettempdir(), "irs_trigram_app", _TMP_TAG,
+                           sf_dir.strip("/").replace("/", "_"))
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+        write_trigram_index(
+            trigram_postings(docs.filter(F.col("doc_id") < 250), "text", "doc_id"),
+            out, gram_buckets=TRIGRAM_BUCKETS)
+        append_trigram_delta(docs.filter(F.col("doc_id") >= 250), out,
+                             "text", "doc_id", gram_buckets=TRIGRAM_BUCKETS)
+        _SERVE_CACHE[key] = (read_trigram_index(spark, out),
+                             read_gram_df(spark, out))
+    posts, gdf = _SERVE_CACHE[key]
+    docs = EQ.load_documents(spark, sf_dir)
+    out = substring_search(posts, docs, TRIGRAM_NEEDLE, "text", "doc_id",
+                           gram_buckets=TRIGRAM_BUCKETS, gram_df=gdf)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"))
+
+
 BATCH_NEEDLES = {1: "spark join", 2: "merge window", 3: "zzz never",
                  4: "stream batch"}
 
@@ -854,6 +886,7 @@ SERVING_QUERIES = {
     "subtoken_tf": q_subtoken_tf,
     "trigram_search": q_trigram_search,
     "batch_trigram_search": q_batch_trigram_search,
+    "appended_trigram_search": q_appended_trigram_search,
     "grep_lines": q_grep_lines,
     "regex_search": q_regex_search,
     "trigram_stats": q_trigram_stats,
@@ -883,6 +916,7 @@ FROM sym WHERE symbol = 'parse_query' GROUP BY 1, 2"""),
     "subtoken_tf": _sql_subtoken_tf(),
     "trigram_search": SQL_TRIGRAM_SEARCH,
     "batch_trigram_search": SQL_BATCH_TRIGRAM_SEARCH,
+    "appended_trigram_search": SQL_TRIGRAM_SEARCH,
     "grep_lines": SQL_GREP_LINES,
     "regex_search": SQL_REGEX_SEARCH,
     "trigram_stats": SQL_TRIGRAM_STATS,

@@ -475,3 +475,33 @@ def grep_lines(postings: DataFrame, docs: DataFrame, needle: str,
             .filter(F.col("line").contains(needle))
             .select("doc_id", F.col("line_no").cast("long").alias("line_no"),
                     "line"))
+
+
+def append_trigram_delta(new_docs: DataFrame, path: str, text_col: str,
+                         id_col: str, gram_buckets: int = 16) -> None:
+    """Incrementally index NEW documents into an existing trigram
+    layout: the delta's gram postings append into the bucketed
+    ``postings`` directory (same ``gbucket`` scheme, so pruning is
+    unchanged), then the ``gramdf`` table is refreshed from the written
+    postings (a compaction-style maintenance job — df is a sum, so it
+    must see old + new; the postings scan is compact parquet, not a
+    re-tokenize of the old corpus).
+
+    Searches over the appended layout are exactly the searches over a
+    from-scratch build: postings rows are per-(gram, doc) and the doc
+    sets are disjoint, so append = union.  The BM25 analog is
+    streaming/incremental.py's delta + compaction lifecycle."""
+    delta = trigram_postings(new_docs, text_col, id_col).withColumn(
+        "gbucket", F.pmod(F.hash("gram"), F.lit(gram_buckets)))
+    (delta.repartition("gbucket")
+     .write.mode("append")
+     .partitionBy("gbucket")
+     .parquet(os.path.join(path, "postings")))
+    spark = new_docs.sparkSession
+    written = spark.read.parquet(os.path.join(path, "postings"))
+    (written.groupBy("gram", "gbucket")
+     .agg(F.count("*").cast("long").alias("df"))
+     .repartition("gbucket")
+     .write.mode("overwrite")
+     .partitionBy("gbucket")
+     .parquet(os.path.join(path, "gramdf")))

@@ -221,3 +221,31 @@ def test_regex_literal_extraction_fuzz_required_property():
                 for lit in lits:
                     assert lit in s, (pat, lits, s)
     assert checked > 200  # the fuzz actually exercised matches
+
+
+def test_append_delta_equals_full_build(spark, tmp_path):
+    from information_retrieval_system_spark.index.trigram import (
+        append_trigram_delta,
+        read_gram_df,
+        read_trigram_index,
+        substring_search,
+        trigram_postings,
+        write_trigram_index,
+    )
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    first = docs.filter("doc_id < 3")
+    rest = docs.filter("doc_id >= 3")
+    out = str(tmp_path / "tri")
+    write_trigram_index(trigram_postings(first, "text", "doc_id"), out,
+                        gram_buckets=4)
+    append_trigram_delta(rest, out, "text", "doc_id", gram_buckets=4)
+    posts = read_trigram_index(spark, out)
+    gdf = read_gram_df(spark, out)
+    got = {r.doc_id for r in
+           substring_search(posts, docs, "spark join", "text", "doc_id",
+                            gram_buckets=4, gram_df=gdf).collect()}
+    assert got == _truth_contains("spark join")
+    # gramdf must reflect old + new (doc 5 arrived in the delta)
+    dfs = {r.gram: r.df for r in gdf.filter("gram = 'mer'").collect()}
+    assert dfs == {"mer": 2}
