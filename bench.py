@@ -102,6 +102,14 @@ def run_suite(parallelism: int, sf_dir: str) -> dict:
     regex_search(posts, docs, "spark [a-z]+ join", "text", "doc_id",
                  gram_buckets=16, gram_df=gdf).count()
     timings["trigram_regex"] = round(time.perf_counter() - t0, 4)
+    from information_retrieval_system_spark.index.trigram import batch_substring_search
+
+    t0 = time.perf_counter()
+    batch_substring_search(
+        posts, docs,
+        {1: "spark join", 2: "merge window", 3: "zzz never", 4: "stream batch"},
+        "text", "doc_id", gram_buckets=16).count()
+    timings["trigram_batch4"] = round(time.perf_counter() - t0, 4)
 
     EQ._index_cache.clear()
 
