@@ -28,10 +28,11 @@ its users reach for grep/Zoekt for.  This module adds it Spark-first:
   ``contains``/``rlike`` filter — corpus-sized work never happens at
   query time.
 - skew lever: all needle grams are required, so any SUBSET yields a
-  candidate superset; ``max_grams`` keeps only the RAREST grams (df
-  from a needle-sized driver lookup, the wand.py term-stats pattern),
-  which caps the posting volume a hot trigram ("ion", "the") would
-  otherwise drag through the shuffle.  Verification restores exactness.
+  candidate superset; selection keeps the RAREST grams within a df
+  ratio of the rarest (dfs served from the build-time ``gramdf``
+  table, a needle-sized pruned scan), which caps the posting volume a
+  hot trigram ("ion", "the") would otherwise drag through the
+  shuffle.  Verification restores exactness.
 """
 
 from __future__ import annotations
@@ -413,6 +414,8 @@ def batch_substring_search(postings: DataFrame, docs: DataFrame,
     spark = docs.sparkSession
     long_n = {q: n for q, n in needles.items() if len(n) >= 3}
     short_n = {q: n for q, n in needles.items() if len(n) < 3}
+    if not needles:
+        return spark.createDataFrame([], "qid long, doc_id long")
     parts = []
     if long_n:
         rows = [(q, g, n, len(_needle_grams(n)))
