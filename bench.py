@@ -108,7 +108,7 @@ def run_suite(parallelism: int, sf_dir: str) -> dict:
     batch_substring_search(
         posts, docs,
         {1: "spark join", 2: "merge window", 3: "zzz never", 4: "stream batch"},
-        "text", "doc_id", gram_buckets=16).count()
+        "text", "doc_id", gram_buckets=16, gram_df=gdf).count()
     timings["trigram_batch4"] = round(time.perf_counter() - t0, 4)
 
     EQ._index_cache.clear()

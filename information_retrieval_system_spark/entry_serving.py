@@ -779,10 +779,10 @@ def q_batch_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero hits — the empty-result qid grades too (by absence)."""
     from .index.trigram import batch_substring_search
 
-    posts, _ = _trigram_served(spark, sf_dir)
+    posts, gdf = _trigram_served(spark, sf_dir)
     docs = EQ.load_documents(spark, sf_dir)
     out = batch_substring_search(posts, docs, BATCH_NEEDLES, "text", "doc_id",
-                                 gram_buckets=TRIGRAM_BUCKETS)
+                                 gram_buckets=TRIGRAM_BUCKETS, gram_df=gdf)
     return out.select(F.col("qid").cast("long").alias("qid"),
                       F.col("doc_id").cast("long").alias("doc_id"))
 
