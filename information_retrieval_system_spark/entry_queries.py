@@ -582,7 +582,7 @@ _GRADE_FIRST = [
 ]
 #: Round-6 LATE additions (snippet_topk, rerank_topk, impact_topk,
 #: paragraph_dedup, unigram_logprob, trigram_search, regex_search,
-#: trigram_stats, subtoken_tf, symbol_extract, symbol_search, latest_file_version, repo_topk, code_quality, batch_trigram_search, grep_lines, code_pipeline_topk, appended_trigram_search) land after the 50-slot cap: the cap was
+#: trigram_stats, subtoken_tf, symbol_extract, symbol_search, latest_file_version, repo_topk, code_quality, batch_trigram_search, grep_lines, code_pipeline_topk, appended_trigram_search, trigram_search_ci) land after the 50-slot cap: the cap was
 #: already full with the r05-ungraded backlog plus the round's first 11
 #: new entries.  They are selfcheck- and pytest-gated this round and
 #: MUST rotate into the graded window in round 7 (put them first,

@@ -735,6 +735,33 @@ FROM documents WHERE contains(text, '{TRIGRAM_NEEDLE}')
 """
 
 
+def q_trigram_search_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive substring search (grep -i) over a MIXED-case
+    corpus (even doc_ids uppercased, odd kept lower — so the fold is
+    what finds the even half): fold-case gram layout, driver-lowered
+    needle, lower(text) verification.  The case-sensitive path on this
+    corpus would return only the odd half."""
+    from .index.trigram import substring_search, trigram_postings
+
+    docs = EQ.load_documents(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.upper("text"))
+         .otherwise(F.col("text")).alias("text"))
+    posts = trigram_postings(docs, "text", "doc_id", fold_case=True)
+    out = substring_search(posts, docs, "SPARK Join", "text", "doc_id",
+                           fold_case=True)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"))
+
+
+SQL_TRIGRAM_SEARCH_CI = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id
+FROM (SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN upper(text) ELSE text END AS t
+      FROM documents)
+WHERE contains(lower(t), 'spark join')
+"""
+
+
 def q_appended_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental trigram maintenance EXECUTED: build the layout on
     doc_id < 250, append the rest as a delta (postings append + gramdf
@@ -887,6 +914,7 @@ SERVING_QUERIES = {
     "trigram_search": q_trigram_search,
     "batch_trigram_search": q_batch_trigram_search,
     "appended_trigram_search": q_appended_trigram_search,
+    "trigram_search_ci": q_trigram_search_ci,
     "grep_lines": q_grep_lines,
     "regex_search": q_regex_search,
     "trigram_stats": q_trigram_stats,
@@ -917,6 +945,7 @@ FROM sym WHERE symbol = 'parse_query' GROUP BY 1, 2"""),
     "trigram_search": SQL_TRIGRAM_SEARCH,
     "batch_trigram_search": SQL_BATCH_TRIGRAM_SEARCH,
     "appended_trigram_search": SQL_TRIGRAM_SEARCH,
+    "trigram_search_ci": SQL_TRIGRAM_SEARCH_CI,
     "grep_lines": SQL_GREP_LINES,
     "regex_search": SQL_REGEX_SEARCH,
     "trigram_stats": SQL_TRIGRAM_STATS,

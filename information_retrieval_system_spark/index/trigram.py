@@ -58,11 +58,17 @@ def trigram_expr(col: F.Column) -> F.Column:
             .otherwise(F.array().cast("array<string>"))
 
 
-def trigram_postings(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """-> postings ``(gram, doc_id)``, one row per (distinct trigram, doc)."""
+def trigram_postings(df: DataFrame, text_col: str, id_col: str,
+                     fold_case: bool = False) -> DataFrame:
+    """-> postings ``(gram, doc_id)``, one row per (distinct trigram, doc).
+
+    ``fold_case=True`` lowercases before gram extraction (the ``grep -i``
+    layout); searches over it must pass the same flag so needle grams
+    and verification fold identically."""
+    col = F.lower(F.col(text_col)) if fold_case else F.col(text_col)
     return df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(trigram_expr(F.col(text_col))).alias("gram"),
+        F.explode(trigram_expr(col)).alias("gram"),
     ).select("gram", "doc_id")
 
 
@@ -200,16 +206,25 @@ def substring_search(postings: DataFrame, docs: DataFrame, needle: str,
                      text_col: str, id_col: str,
                      max_grams: int | None = 8,
                      gram_buckets: int | None = None,
-                     gram_df: DataFrame | None = None) -> DataFrame:
+                     gram_df: DataFrame | None = None,
+                     fold_case: bool = False) -> DataFrame:
     """Exact substring search: trigram AND-intersection candidates, then
     ``contains`` verification restricted to the candidate set.
 
     -> (doc_id) of every document whose ``text_col`` contains ``needle``.
 
     Needles shorter than 3 characters have no trigram to prefilter on;
-    they fall back to a documented full-scan filter (still exact)."""
+    they fall back to a documented full-scan filter (still exact).
+
+    ``fold_case=True`` is ``grep -i``: requires a layout built with
+    ``trigram_postings(..., fold_case=True)``; the needle lowers on the
+    driver and verification compares against ``lower(text)`` (simple
+    UTF-8 folding on both sides)."""
+    text = F.lower(F.col(text_col)) if fold_case else F.col(text_col)
+    if fold_case:
+        needle = needle.lower()
     if len(needle) < 3:
-        return docs.filter(F.col(text_col).contains(needle)) \
+        return docs.filter(text.contains(needle)) \
                    .select(F.col(id_col).alias("doc_id"))
     p = _bucket_pruned(postings, _needle_grams(needle), gram_buckets)
     gdf = _bucket_pruned(gram_df, _needle_grams(needle), gram_buckets) \
@@ -217,7 +232,7 @@ def substring_search(postings: DataFrame, docs: DataFrame, needle: str,
     grams = _rarest_grams(p, _needle_grams(needle), max_grams, gram_df=gdf)
     cand = _candidates(p, grams)
     return (docs.join(cand, docs[id_col] == cand["doc_id"], "left_semi")
-                .filter(F.col(text_col).contains(needle))
+                .filter(text.contains(needle))
                 .select(F.col(id_col).alias("doc_id")))
 
 

@@ -249,3 +249,23 @@ def test_append_delta_equals_full_build(spark, tmp_path):
     # gramdf must reflect old + new (doc 5 arrived in the delta)
     dfs = {r.gram: r.df for r in gdf.filter("gram = 'mer'").collect()}
     assert dfs == {"mer": 2}
+
+
+def test_fold_case_substring(spark):
+    from information_retrieval_system_spark.index.trigram import (
+        substring_search,
+        trigram_postings,
+    )
+
+    rows = [(1, "SPARK Join merge"), (2, "spark join"), (3, "no match")]
+    mdocs = spark.createDataFrame(rows, "doc_id long, text string")
+    ci_posts = trigram_postings(mdocs, "text", "doc_id", fold_case=True)
+    got = {r.doc_id for r in
+           substring_search(ci_posts, mdocs, "Spark JOIN", "text", "doc_id",
+                            fold_case=True).collect()}
+    assert got == {1, 2}
+    cs_posts = trigram_postings(mdocs, "text", "doc_id")
+    got_cs = {r.doc_id for r in
+              substring_search(cs_posts, mdocs, "spark join", "text",
+                               "doc_id").collect()}
+    assert got_cs == {2}
