@@ -50,7 +50,8 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import entry_queries as EQ
 
-    return EQ._spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    path = f"{sf_dir}/embeddings.parquet"
+    return EQ._spread(spark.read.parquet(path), cache_key=path)
 
 
 # --- exact dedup -----------------------------------------------------------

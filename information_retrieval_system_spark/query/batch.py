@@ -46,7 +46,11 @@ def batch_bm25_search(
     query.  ``qrels(qid, doc_id, relevance)`` restricts each query's
     scoring to its relevance=1 candidates (J4, per-query semi-join)."""
     n, avgdl = index.stats["n_docs"], float(index.stats["avgdl"])
-    qt = query_terms.join(F.broadcast(index.terms.select("term", "df")), "term")
+    # broadcast the QUERY side and stream the vocabulary (not vice
+    # versa): the build relation stays query-set-sized at any corpus
+    # scale, while broadcast(index.terms) would hash the whole
+    # dictionary per batch (r7; guide §3.1)
+    qt = F.broadcast(query_terms).join(index.terms.select("term", "df"), "term")
     m = index.postings.join(F.broadcast(qt), "term")
     if qrels is not None:
         cand = qrels.filter(F.col("relevance") == 1).select("qid", "doc_id")

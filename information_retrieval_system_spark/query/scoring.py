@@ -58,8 +58,16 @@ def bm25_term_score(tf: Column, df: Column, dl: Column, n_docs: int, avgdl: floa
 def _matched(index: IndexTables, query_terms: DataFrame,
              candidates: DataFrame | None) -> DataFrame:
     """query_terms ⋈ terms ⋈ postings [⋈semi candidates]: one row per
-    (term, doc) match, carrying qtf/df/tf."""
-    qt = query_terms.join(F.broadcast(index.terms), "term", "inner")
+    (term, doc) match, carrying qtf/df/tf.
+
+    The broadcast BUILD side is the query-term set, never the terms
+    table: ``broadcast(query_terms) ⋈ terms`` streams the vocabulary
+    (a vocab-sized scan) and yields a query-sized frame that is then
+    broadcast into the postings join.  The previous
+    ``broadcast(index.terms)`` hashed the ENTIRE vocabulary per query —
+    fine at sandbox vocab sizes, unboundedly wrong at 100 TB where the
+    dictionary is itself a large table (r7; guide §3.1)."""
+    qt = F.broadcast(query_terms).join(index.terms, "term", "inner")
     m = index.postings.join(F.broadcast(qt), "term", "inner")
     if candidates is not None:
         m = m.join(candidates.select("doc_id"), "doc_id", "leftsemi")
@@ -133,8 +141,8 @@ def bm25_search_id_keyed(
         raise ValueError("index carries no term dictionary (term_dict=None)")
     n, avgdl = index.stats["n_docs"], index.stats["avgdl"]
     qt = (
-        query_terms.join(F.broadcast(index.term_dict), "term")
-        .join(F.broadcast(index.terms), "term")
+        F.broadcast(query_terms).join(index.term_dict, "term")
+        .join(index.terms, "term")
         .select("term_id", "df")
     )
     p = index.postings
@@ -179,7 +187,7 @@ def vsm_search(
     # same matched term set only when the doc matches all terms, so we
     # instead carry the global scalar via a cross-joinable 1-row agg.
     qnorm = (
-        query_terms.join(F.broadcast(index.terms.select("term", "df")), "term", "inner")
+        F.broadcast(query_terms).join(index.terms.select("term", "df"), "term", "inner")
         .select((F.col("qtf") * log2c(F.lit(float(n)) / F.col("df").cast("double"))).alias("w_q"))
         .agg(F.sum(F.col("w_q") * F.col("w_q")).alias("q_norm2"))
     )

@@ -276,27 +276,37 @@ def unigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
     -> (id, n_tokens, mean_logprob).
 
-    Plan: one token explode feeding BOTH the model aggregation
-    (groupBy token — partial-aggregable, Zipf head combines map-side)
-    and the scoring join (token -> ln p), then a per-doc mean.  The
-    model table is |vocab|-sized — broadcast it when vocab fits, else
-    it's a plain shuffle join on the token key; the normalizing total
-    is a broadcast 1-row aggregate, in-plan (no driver action)."""
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(tokens_array_expr(F.col(text_col))).alias("tok"),
+    Plan: one token explode pre-aggregated to per-(id, tok) tf FIRST
+    (round-6 verdict note: joining the raw token stream against the
+    model keys the join on the Zipf-skewed ``tok`` — if vocab ever
+    outgrows broadcast, the head token's partition is pathological; the
+    (id, tok) pre-aggregation is identical semantics and strictly fewer
+    rows).  The tf table then feeds BOTH the model aggregation (groupBy
+    tok — one exchange, reused) and the scoring join; the per-doc mean
+    is the tf-weighted mean ``Σ tf·ln p / Σ tf``.  The model table is
+    |vocab|-sized — broadcast when it fits, plain shuffle join
+    otherwise; the normalizing total is a broadcast 1-row aggregate of
+    the model itself, in-plan (no driver action)."""
+    doc_tf = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(tokens_array_expr(F.col(text_col))).alias("tok"),
+        )
+        .groupBy("id", "tok")
+        .agg(F.count("*").alias("tf"))
     )
-    total = toks.agg(F.count("*").cast("double").alias("_tot"))
-    model = toks.groupBy("tok").agg(F.count("*").alias("cf"))
+    model = doc_tf.groupBy("tok").agg(F.sum("tf").alias("cf"))
+    total = model.agg(F.sum("cf").cast("double").alias("_tot"))
     scored = (
-        toks.join(model, "tok")
+        doc_tf.join(model, "tok")
         .crossJoin(F.broadcast(total))
-        .select("id", F.log(F.col("cf") / F.col("_tot")).alias("_lp"))
+        .select("id", "tf",
+                (F.col("tf") * F.log(F.col("cf") / F.col("_tot"))).alias("_lp"))
     )
     return (
         scored.groupBy("id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
-             F.round(F.avg("_lp"), 4).alias("mean_logprob"))
+        .agg(F.sum("tf").cast("long").alias("n_tokens"),
+             F.round(F.sum("_lp") / F.sum("tf"), 4).alias("mean_logprob"))
     )
 
 

@@ -112,6 +112,12 @@ def run_batch_routed(spark, six, b_all, dlb_served, vocab: int,
         six, b_all, dlb_served, batch_df(range(n_queries)), k=k, cfg=cfg,
         block_span=block_span, term_buckets=term_buckets,
         wand_min_postings=wand_min_postings)
+    # materialize the run output ONCE (inside the timed batch window):
+    # both consumers (the correctness collect below and the composed
+    # eval) read the k*n_queries result rows instead of re-running the
+    # whole routed retrieval — previously eval_sec silently paid a
+    # second full 635-query retrieval because `res` was a lazy plan
+    res = res.localCheckpoint(eager=True)
     full = {(r.qid, r.rank): (r.doc_id, round(r.score, 6)) for r in res.collect()}
     batch_sec = time.perf_counter() - t0
 
