@@ -550,55 +550,47 @@ _ALL_ORACLES: dict[str, str] = {
     **STREAMING_ORACLES,
 }
 
-#: ROTATION (round 6): the driver grades only the FIRST 50 registry
-#: entries, so the ordering rotates each round to keep every query's
-#: driver-graded evidence at most one round stale.  This round the 44
-#: names WITHOUT a CORRECTNESS_r05 row go first (all green in r04),
-#: then the new round-6 queries fill the remaining slots.  With 101
-#: entries and a 50-slot cap, THREE entries must fall two rounds
-#: stale: `pricing_summary`/`top_customers`/`events_pivot` (plain
-#: TPC-H aggregates, the most stable queries in the registry, green
-#: r01-r04 + selfcheck) are demoted past the cap so every NEW round-6
-#: query gets a driver row.  Flip again next round, re-grading them
-#: first.
+#: ROTATION (round 7, per the round-6 verdict's top item): the driver
+#: grades only the FIRST 50 registry entries, so the ordering rotates
+#: each round to keep every query's driver evidence fresh.  Window
+#: layout this round:
+#:   1-19: the 19 round-6 LATE entries (landed after the cap, so they
+#:         have ZERO driver rows — selfcheck/pytest-gated only);
+#:  20-24: the 5 TPC-H extras whose last driver row is r04;
+#:  25-50: 26 of the 50 r05-stale entries, prioritizing the ones whose
+#:         implementation this optimization round CHANGED (scoring
+#:         broadcast sides, shingle/band plans, builder staging) —
+#:         driver evidence for changed code first.
+#: The 24 remaining r05-stale entries fall two rounds stale (all
+#: selfcheck-green this round); the 50 entries holding fresh r06 rows
+#: are demoted past the cap.
 _GRADE_FIRST = [
-    # ungraded in r05 (CORRECTNESS_r04 covers them; driver re-grades now)
-    "vsm_topk", "existential", "conjunctive",
-    "dedup_keep", "doc_norms", "stopword_stats",
-    "dedup_components", "near_dedup_keep",
-    "routed_batch_fusion", "corrected_bm25", "external_expansion_topk",
-    "rocchio_vsm_topk", "batch_conjunctive", "prefix_suggest",
-    "eval_metrics", "events_tumbling",
-    "salted_postings", "asof_status",
-    "range_bucket_join", "shipping_priority", "eval_prk", "s2_bm25f",
-    "s2_ingest", "s2_graph_edges", "s2_author_ids", "s2_string_prep",
-    "s2_bm25", "bm25_served", "wand_served", "bm25_full", "code_bm25",
-    "snapshot_term_df", "phrase_served", "routed_bm25", "stream_dedup",
-    "stream_term_df", "compacted_term_df", "compacted_bm25",
-    "stream_events_tumbling",
-    # new in round 6
-    "termdict_bm25",
-    "ivf_trained_topk",
-    "training_mix",
-    "batch_eval_summary",
-    "image_headers",
-    "decontaminate",
-    "mix_report",
-    "pii_redact",
-    "source_cap",
-    "proximity_topk",
-    "token_pack",
-    # position 51+: stale-by-one-extra-round, still selfcheck-gated
+    # round-6 late entries: first driver grading ever
+    "snippet_topk", "paragraph_dedup", "rerank_topk", "impact_topk",
+    "unigram_logprob", "code_quality", "trigram_search", "regex_search",
+    "trigram_stats", "batch_trigram_search", "grep_lines", "subtoken_tf",
+    "symbol_extract", "symbol_search", "latest_file_version", "repo_topk",
+    "code_pipeline_topk", "appended_trigram_search", "trigram_search_ci",
+    # r04-stale TPC-H extras
     "pricing_summary", "top_customers", "events_pivot",
     "revenue_by_nation", "rollup_pricing",
+    # r05-stale, changed-code-first
+    "term_df", "corpus_stats", "doc_lengths", "tf_matrix", "bm25_topk",
+    "minhash_signatures", "minhash_lsh_dedup", "ngram_jaccard",
+    "wand_topk", "batch_wand", "batch_bm25", "fusion_topk",
+    "batch_fusion", "expanded_vsm", "glove_vsm_topk", "antonym_vsm_topk",
+    "corrected_routed_fusion", "cosine_topk", "simhash",
+    "simhash_near_dup", "dedup_exact", "pagerank", "phrase_search",
+    "events_running", "s2_bm25f_served", "merged_snapshot_bm25",
+    # position 51+: two-rounds-stale backlog, still selfcheck-gated
+    "tfidf_keywords", "repetition_ratio", "quality_sampled",
+    "blob_metadata", "frame_samples", "bigram_pmi", "lsh_topk",
+    "lsh_multiprobe_topk", "ivf_topk", "embedding_near_dup",
+    "language_id", "token_counts", "quality_score", "doc_fingerprint",
+    "value_quantiles", "kmv_distinct", "corpus_split", "term_neighbors",
+    "term_antonyms", "spell_correct", "sessionization",
+    "expired_snapshot_term_df", "merged_snapshot_term_df",
 ]
-#: Round-6 LATE additions (snippet_topk, rerank_topk, impact_topk,
-#: paragraph_dedup, unigram_logprob, trigram_search, regex_search,
-#: trigram_stats, subtoken_tf, symbol_extract, symbol_search, latest_file_version, repo_topk, code_quality, batch_trigram_search, grep_lines, code_pipeline_topk, appended_trigram_search, trigram_search_ci) land after the 50-slot cap: the cap was
-#: already full with the r05-ungraded backlog plus the round's first 11
-#: new entries.  They are selfcheck- and pytest-gated this round and
-#: MUST rotate into the graded window in round 7 (put them first,
-#: demote the 11 round-6 entries that will then hold fresh r06 rows).
 
 
 def _rotated(d: dict) -> dict:

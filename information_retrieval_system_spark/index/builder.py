@@ -160,6 +160,13 @@ def build_index(
 
     from ..analysis.analyzer import stopword_filter_condition, tokens_array_expr
 
+    # DISK_ONLY staging kept after an r7 A/B: one interleaved session
+    # measured MEMORY_AND_DISK ~30% faster on the build, but two later
+    # sessions inverted the ordering and one bench window showed a 5x
+    # encode-phase regression with it — all inside this host's 20-40%
+    # drift.  DISK_ONLY never competes with the shuffle/agg working set
+    # and its 100-TB behavior is unambiguous, so the unproven 1-3 s
+    # stays on the table (OPTIMIZATION_r07.md "left alone").
     pre = docs_base.select(
         "doc_id", "doc_int", tokens_array_expr(F.col("content")).alias("_arr")
     ).persist(StorageLevel.DISK_ONLY)
