@@ -547,11 +547,13 @@ def append_trigram_delta(new_docs: DataFrame, path: str, text_col: str,
     sets are disjoint, so append = union.  A layout written before the
     gramdf table existed falls back to the full rebuild."""
     spark = new_docs.sparkSession
-    # materialized once: both the postings append and the df merge read
-    # the delta rows; without the barrier the delta docs tokenize twice
+    # referenced twice (postings append + df merge) WITHOUT a barrier:
+    # both evaluations are pure map-side gram extraction over the delta
+    # docs, and re-running that is cheaper than materializing the
+    # delta's gram postings (measured at sf0.1: checkpointing cost more
+    # than the whole merge path saved)
     delta = trigram_postings(new_docs, text_col, id_col).withColumn(
-        "gbucket", F.pmod(F.hash("gram"), F.lit(gram_buckets))
-    ).localCheckpoint(eager=True)
+        "gbucket", F.pmod(F.hash("gram"), F.lit(gram_buckets)))
     (delta.repartition("gbucket")
      .write.mode("append")
      .partitionBy("gbucket")
