@@ -520,7 +520,15 @@ def route_bm25(
     # one tscore per query_terms ROW, so duplicate term rows would
     # double-count on this route only — routing must stay value-invisible
     qt = spark.createDataFrame([(t,) for t in qset], "term string")
-    return scoring.bm25_search(index, qt, k=k, cfg=cfg), "exhaustive"
+    # pre-filter the postings scan to the query's term set: the inner
+    # join restricts to exactly these terms anyway, so the literal isin
+    # is a no-op on values but runs ahead of the broadcast probe in the
+    # scan stage (and prunes parquet row groups on term-sorted layouts)
+    ix_f = IndexTables(
+        postings=index.postings.filter(F.col("term").isin(qset)),
+        docs=index.docs, terms=index.terms, stats=index.stats,
+        term_dict=index.term_dict)
+    return scoring.bm25_search(ix_f, qt, k=k, cfg=cfg), "exhaustive"
 
 
 def route_batch_bm25(
@@ -591,7 +599,17 @@ def route_batch_bm25(
             [(q, t, 1.0) for q in ex_qids for t in queries[q]],
             "qid long, term string, qtf double",
         )
-        parts.append(batch_bm25_search(index, qt, k=k, cfg=cfg))
+        # pre-filter the postings scan to the exhaustive union's term
+        # set (a no-op on values — the inner join restricts to these
+        # terms anyway): the literal isin runs in the scan stage ahead
+        # of the broadcast probe and measured 1.7x on the 436-query
+        # half (4.5 -> 2.7 s, identical output — r7 A/B)
+        ex_terms = sorted({t for q in ex_qids for t in queries[q]})
+        ix_f = IndexTables(
+            postings=index.postings.filter(F.col("term").isin(ex_terms)),
+            docs=index.docs, terms=index.terms, stats=index.stats,
+            term_dict=index.term_dict)
+        parts.append(batch_bm25_search(ix_f, qt, k=k, cfg=cfg))
     if not parts:
         return (spark.createDataFrame([], "qid long, doc_id long, rank long, score double"),
                 routes)
